@@ -1,0 +1,117 @@
+"""Tokenize/detokenize between log lines and int32 token arrays.
+
+The reference knows nothing of tokens; BASELINE.json's input_hint defines
+the pipeline input as pre-tokenized sequences (doc_id, tokens:array<int32>,
+n_tok, source). The tokenizer is repo-defined: one token per UTF-8 byte of
+the (pre-trimmed) line. The per-row invariant "token-array equality"
+(FIXTURES.md §3.1) is: retokenize(emitted message) == input tokens, which
+redeye guarantees because message == trimmed input line (parser.rs:165).
+
+Everything here is buffer-level: token arrays are concatenated into one
+contiguous byte buffer and re-carved via Arrow StringArray offsets, so the
+per-batch cost is O(bytes) vectorized work plus O(rows) pointer handling —
+no per-character Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def tokenize(lines: pd.Series) -> pd.Series:
+    """UTF-8-byte tokenizer: str -> array<int32>, one int per byte."""
+    arr = pa.array(lines.astype(str), type=pa.string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.empty(0, np.uint8)
+    flat = data.astype(np.int32)
+    return pd.Series(
+        [flat[offsets[i] : offsets[i + 1]] for i in range(len(arr))],
+        index=lines.index,
+    )
+
+
+def _flatten(tokens: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Token-array column -> (int32 offsets, contiguous uint8 buffer)."""
+    arrs = [np.asarray(t) for t in tokens]
+    lengths = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    if flat.size and (flat.min() < 0 or flat.max() > 255):
+        raise ValueError("token out of byte range [0, 255]")
+    return offsets, flat.astype(np.uint8)
+
+
+def detokenize(tokens: pd.Series) -> pd.Series:
+    """array<int32> -> str by reinterpreting the bytes as UTF-8.
+
+    Zero-copy construction of an Arrow StringArray straight from the
+    concatenated byte buffer + offsets; invalid UTF-8 raises.
+    """
+    if len(tokens) == 0:
+        return pd.Series([], dtype=object)
+    offsets, buf = _flatten(tokens)
+    if offsets[-1] > np.iinfo(np.int32).max:
+        raise ValueError("batch too large for int32 string offsets; lower Arrow batch size")
+    arr = pa.StringArray.from_buffers(
+        len(tokens),
+        pa.py_buffer(offsets.astype(np.int32).tobytes()),
+        pa.py_buffer(buf.tobytes()),
+    )
+    arr.validate(full=True)  # UTF-8 validation over the whole buffer at once
+    out = arr.to_pandas()
+    out.index = tokens.index
+    return out
+
+
+def tokens_equal(lines: pd.Series, tokens: pd.Series) -> pd.Series:
+    """Vectorized per-row check: tokenize(lines[i]) == tokens[i].
+
+    Compares row lengths, then byte-equality of the two flattened buffers
+    reduced per-row segment (np.logical_and.reduceat) — no per-row loops.
+    """
+    n = len(lines)
+    if n == 0:
+        return pd.Series([], dtype=bool)
+    tok_off, tok_buf = _flatten(tokens)
+
+    arr = pa.array(lines.fillna("").astype(str), type=pa.string())
+    line_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
+    line_buf = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+
+    tok_lens = np.diff(tok_off)
+    line_lens = np.diff(line_off)
+    len_eq = tok_lens == line_lens
+    result = len_eq.copy()  # equal-length rows assumed equal until refuted
+
+    # Compare bytes only for rows with matching non-zero lengths.
+    idx = np.nonzero(len_eq & (tok_lens > 0))[0]
+    if idx.size == 0:
+        return pd.Series(result, index=lines.index)
+    seg_lens = tok_lens[idx]
+    # Gather indices for both buffers: ranges [start, start+len) per row.
+    offs = _ranges(seg_lens)
+    eq = tok_buf[np.repeat(tok_off[idx], seg_lens) + offs] == line_buf[
+        np.repeat(line_off[idx], seg_lens) + offs
+    ]
+    bounds = np.zeros(len(idx), dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=bounds[1:])
+    result[idx] = np.logical_and.reduceat(eq, bounds)
+    return pd.Series(result, index=lines.index)
+
+
+def _ranges(lengths: np.ndarray) -> np.ndarray:
+    """[3,2] -> [0,1,2,0,1] — vectorized per-segment aranges (lengths > 0)."""
+    total = int(lengths.sum())
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    if len(lengths) > 1:
+        starts = np.cumsum(lengths)[:-1]
+        out[starts] = 1 - lengths[:-1]
+    return np.cumsum(out)

@@ -1,0 +1,278 @@
+"""Port of the reference parser unit tests + README golden cases to the
+vectorized pandas core (no Spark needed — runs in milliseconds).
+
+Fixture provenance: /root/reference/src/redeye/parser.rs:530-934 and
+/root/reference/README.md:43-90; matrices catalogued in FIXTURES.md §2.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from redeye_spark.functions.logparse import (
+    ERR_PARSE,
+    ERR_TIMESTAMP,
+    FORMAT_COMBINED,
+    FORMAT_COMMON,
+    event_to_json_dict,
+    parse_lines,
+)
+from redeye_spark.functions import tokens as tok
+
+COMMON_LINE = '127.0.0.1 - frank [11/Oct/2000:13:55:36 -0700] "GET /index.html HTTP/1.0" 200 2326'
+COMBINED_LINE = (
+    '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /index.html HTTP/1.0" 200 2326 '
+    '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"'
+)
+
+
+def parse_one(line, fmt=FORMAT_COMMON):
+    return parse_lines(pd.Series([line]), fmt).iloc[0]
+
+
+class TestCommonParser:
+    # parser.rs:541-593
+    def test_full_happy_path(self):
+        r = parse_one(COMMON_LINE)
+        assert pd.isna(r["error_kind"])
+        assert r["remote_host"] == "127.0.0.1"
+        assert pd.isna(r["ident"])  # '-' => absent, parser.rs:570
+        assert r["remote_user"] == "frank"
+        assert r["timestamp_str"] == "2000-10-11T13:55:36-07:00"
+        assert r["requested_url"] == "GET /index.html HTTP/1.0"
+        assert r["method"] == "GET"
+        assert r["requested_uri"] == "/index.html"
+        assert r["protocol"] == "HTTP/1.0"
+        assert r["status_code"] == 200
+        assert r["content_length"] == 2326
+        assert r["version"] == "1"
+        assert r["message"] == COMMON_LINE
+        # UTC instant: 13:55:36 -0700 == 20:55:36 UTC
+        assert r["timestamp"] == pd.Timestamp("2000-10-11T20:55:36", tz="UTC")
+
+    def test_trim_and_message_is_trimmed(self):
+        # parser.rs:149,165; trait doc parser.rs:33-34
+        r = parse_one("   " + COMMON_LINE + "  \t ")
+        assert pd.isna(r["error_kind"])
+        assert r["message"] == COMMON_LINE
+
+    def test_multiple_spaces_between_fields_legal(self):
+        # \s+ separators, parser.rs:123-133
+        line = '127.0.0.1  -   frank  [11/Oct/2000:13:55:36 -0700]  "GET /index.html HTTP/1.0"  200  2326'
+        r = parse_one(line)
+        assert pd.isna(r["error_kind"])
+        assert r["status_code"] == 200
+
+    def test_single_space_required_inside_request(self):
+        # inside quotes the separators are single \s (parser.rs:128-130)
+        line = '127.0.0.1 - frank [11/Oct/2000:13:55:36 -0700] "GET  /index.html HTTP/1.0" 200 2326'
+        r = parse_one(line)
+        assert r["error_kind"] == ERR_PARSE
+
+    def test_no_match_parse_error(self):
+        # parser.rs:598-607 + FIXTURES §2.5
+        for line in ["", "not a log line", "   "]:
+            r = parse_one(line)
+            assert r["error_kind"] == ERR_PARSE, line
+            assert pd.isna(r["remote_host"])
+
+    def test_trailing_garbage_rejected(self):
+        # $-anchored, parser.rs:133
+        r = parse_one(COMMON_LINE + " extra")
+        assert r["error_kind"] == ERR_PARSE
+
+    def test_all_dash_fields_absent(self):
+        line = '127.0.0.1 - - [11/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" - -'
+        r = parse_one(line)
+        assert pd.isna(r["error_kind"])
+        for f in ["ident", "remote_user", "status_code", "content_length"]:
+            assert pd.isna(r[f]), f
+
+    def test_timestamp_dash_absent(self):
+        # parser.rs:670-685: [-] => @timestamp omitted, line still OK
+        line = '127.0.0.1 - frank [-] "GET / HTTP/1.0" 200 10'
+        r = parse_one(line)
+        assert pd.isna(r["error_kind"])
+        assert pd.isna(r["timestamp"]) and pd.isna(r["timestamp_str"])
+        assert r["status_code"] == 200
+
+    def test_timestamp_bad_format_rejects_line(self):
+        # parser.rs:816-825 => TimestampParseError
+        line = '127.0.0.1 - frank [asdf] "GET / HTTP/1.0" 200 10'
+        r = parse_one(line)
+        assert r["error_kind"] == ERR_TIMESTAMP
+        assert pd.isna(r["status_code"])  # whole line discarded
+
+    def test_timestamp_offset_preserved(self):
+        # parser.rs:645-668: offset -07:00; README: -04:00
+        cases = {
+            "-0700": "-07:00",
+            "+0000": "+00:00",
+            "+0530": "+05:30",
+            "-0430": "-04:30",
+        }
+        for off, suffix in cases.items():
+            line = f'1.2.3.4 - - [11/Oct/2000:13:55:36 {off}] "GET / HTTP/1.0" 200 10'
+            r = parse_one(line)
+            assert pd.isna(r["error_kind"])
+            assert r["timestamp_str"].endswith(suffix), (off, r["timestamp_str"])
+            assert r["timestamp_str"].startswith("2000-10-11T13:55:36")
+
+    def test_int_bad_rejects_line(self):
+        # parser.rs:909-919; u64 => "-1" also rejects (parser.rs:512-514)
+        for bad in ["asdf", "-1", "1.5", "0x10"]:
+            line = f'127.0.0.1 - frank [11/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" {bad} 10'
+            r = parse_one(line)
+            assert r["error_kind"] == ERR_PARSE, bad
+
+    def test_int_plus_sign_accepted(self):
+        # Rust u64 FromStr accepts leading '+'
+        line = '127.0.0.1 - frank [11/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" +200 10'
+        r = parse_one(line)
+        assert pd.isna(r["error_kind"])
+        assert r["status_code"] == 200
+
+    def test_timestamp_error_precedence_over_int(self):
+        # builder order: add_timestamp_field(4) before add_int_field(9),
+        # parser.rs:157-162 — both bad => TimestampParseError
+        line = '127.0.0.1 - frank [nope] "GET / HTTP/1.0" abc 10'
+        r = parse_one(line)
+        assert r["error_kind"] == ERR_TIMESTAMP
+
+    def test_big_u64_content_length(self):
+        line = '1.2.3.4 - - [11/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 9223372036854775807'
+        r = parse_one(line)
+        assert pd.isna(r["error_kind"])
+        assert r["content_length"] == 9223372036854775807
+
+
+class TestCombinedParser:
+    # doctest parser.rs:230-247 / docs parser.rs:188-211
+    def test_full_happy_path(self):
+        r = parse_one(COMBINED_LINE, FORMAT_COMBINED)
+        assert pd.isna(r["error_kind"])
+        assert r["referer"] == "http://www.example.com/start.html"
+        assert r["user_agent"] == "Mozilla/4.08 [en] (Win98; I ;Nav)"
+        assert r["timestamp_str"] == "2000-10-10T13:55:36-07:00"
+        assert r["status_code"] == 200
+        assert r["message"] == COMBINED_LINE
+
+    def test_dash_headers_absent(self):
+        # "-" inside quotes parses then drops (parser.rs:522-528)
+        line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 10 "-" "-"'
+        r = parse_one(line, FORMAT_COMBINED)
+        assert pd.isna(r["error_kind"])
+        assert pd.isna(r["referer"]) and pd.isna(r["user_agent"])
+
+    def test_empty_quotes_reject_line(self):
+        # ([^"]+) requires >=1 char (parser.rs:269-270) — FIXTURES §2.5
+        for tail in ['"" "UA"', '"ref" ""', '"" ""']:
+            line = f'127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 10 {tail}'
+            r = parse_one(line, FORMAT_COMBINED)
+            assert r["error_kind"] == ERR_PARSE, tail
+
+    def test_common_line_fed_to_combined_rejects(self):
+        r = parse_one(COMMON_LINE, FORMAT_COMBINED)
+        assert r["error_kind"] == ERR_PARSE
+
+    def test_combined_line_fed_to_common_rejects(self):
+        # trailing quoted headers are garbage for the $-anchored common regex
+        r = parse_one(COMBINED_LINE, FORMAT_COMMON)
+        assert r["error_kind"] == ERR_PARSE
+
+
+class TestJsonShape:
+    def test_common_json_matches_reference_doc(self):
+        # parser.rs:65-79 golden JSON
+        r = parse_one(COMMON_LINE.replace("11/Oct", "10/Oct"))
+        d = event_to_json_dict(r)
+        assert d == {
+            "remote_host": "127.0.0.1",
+            "remote_user": "frank",
+            "@timestamp": "2000-10-10T13:55:36-07:00",
+            "requested_url": "GET /index.html HTTP/1.0",
+            "method": "GET",
+            "requested_uri": "/index.html",
+            "protocol": "HTTP/1.0",
+            "status_code": 200,
+            "content_length": 2326,
+            "@version": "1",
+            "message": COMMON_LINE.replace("11/Oct", "10/Oct"),
+        }
+        assert "ident" not in d
+
+    def test_combined_json_matches_reference_doc(self):
+        # parser.rs:194-211 golden JSON
+        d = event_to_json_dict(parse_one(COMBINED_LINE, FORMAT_COMBINED))
+        assert d["request_headers"] == {
+            "referer": "http://www.example.com/start.html",
+            "user-agent": "Mozilla/4.08 [en] (Win98; I ;Nav)",
+        }
+
+    def test_request_headers_omitted_when_both_dash(self):
+        # parser.rs:766-784 via complete_mapping (parser.rs:447-452)
+        line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 10 "-" "-"'
+        d = event_to_json_dict(parse_one(line, FORMAT_COMBINED))
+        assert "request_headers" not in d
+
+    def test_readme_triple(self):
+        # README.md:43-45 -> expected JSON README.md:55-90
+        lines = pd.Series(
+            [
+                '127.0.0.1 - - [02/Oct/2018:13:55:36 -0400] "GET / HTTP/1.1" 200 2326',
+                '127.0.0.1 - - [02/Oct/2018:13:55:37 -0400] "GET /some-path HTTP/1.1" 200 56',
+                '127.0.0.1 - - [02/Oct/2018:13:55:38 -0400] "GET /another-path HTTP/1.1" 304 4051',
+            ]
+        )
+        out = parse_lines(lines, FORMAT_COMMON)
+        assert out["error_kind"].isna().all()
+        assert list(out["status_code"]) == [200, 200, 304]
+        assert list(out["content_length"]) == [2326, 56, 4051]
+        assert all(s.endswith("-04:00") for s in out["timestamp_str"])
+        assert "remote_user" not in event_to_json_dict(out.iloc[0])
+
+
+class TestTokens:
+    def test_roundtrip(self):
+        lines = pd.Series([COMMON_LINE, COMBINED_LINE, "", "héllo wörld", "a"])
+        toks = tok.tokenize(lines)
+        assert list(tok.detokenize(toks)) == list(lines)
+        assert [len(t) for t in toks] == [len(s.encode()) for s in lines]
+
+    def test_tokens_equal_vectorized(self):
+        lines = pd.Series(["abc", "abd", "", "xy", "zz"])
+        toks = tok.tokenize(pd.Series(["abc", "abc", "", "xyz", "zz"]))
+        eq = tok.tokens_equal(lines, toks)
+        assert list(eq) == [True, False, True, False, True]
+
+    def test_invariant_message_equals_tokens(self):
+        # FIXTURES §3.1: retokenize(message) == input tokens for ok rows
+        lines = pd.Series([COMMON_LINE, "bad line"])
+        toks = tok.tokenize(lines)
+        parsed = parse_lines(tok.detokenize(toks), FORMAT_COMMON)
+        eq = tok.tokens_equal(parsed["message"], toks)
+        assert eq.all()
+
+    def test_out_of_range_token_raises(self):
+        with pytest.raises(ValueError):
+            tok.detokenize(pd.Series([np.array([72, 300], dtype=np.int32)]))
+
+
+def test_batch_mixed_errors_classified():
+    lines = pd.Series(
+        [
+            COMMON_LINE,  # ok
+            "garbage",  # ParseError (no match)
+            '1.2.3.4 - - [bad-ts] "GET / HTTP/1.0" 200 5',  # TimestampParseError
+            '1.2.3.4 - - [11/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" NaN 5',  # ParseError (int)
+            '1.2.3.4 - - [-] "GET / HTTP/1.0" - -',  # ok with absents
+        ]
+    )
+    out = parse_lines(lines, FORMAT_COMMON)
+    assert list(out["error_kind"].fillna("ok")) == [
+        "ok",
+        ERR_PARSE,
+        ERR_TIMESTAMP,
+        ERR_PARSE,
+        "ok",
+    ]
