@@ -1,0 +1,101 @@
+"""spark-submit entrypoint for the full pipeline.
+
+CLI mirrors redeye's flags (--common-format / --combined-format,
+src/bin/redeye.rs:38-45; exactly one required, like the exit(1) check at
+redeye.rs:75-76) plus the distribution controls required by the north
+rule. Example:
+
+    spark-submit --py-files redeye_spark.zip -m redeye_spark.job \
+        --combined-format --input /data/raw --output /data/out \
+        --parallelism 256 --checkpoint-dir /data/ckpt --resume
+
+Stats print as one JSON line on stdout; warnings (dead-letter counts)
+go to stderr like the reference's handle_redeye_error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# spark-submit runs this file as a top-level script (no parent package);
+# the package itself ships to executors via --py-files.
+if __package__ in (None, ""):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from redeye_spark.functions.logparse import FORMAT_COMBINED, FORMAT_COMMON
+from redeye_spark.plans.pipeline import PipelineConfig, run_pipeline
+from redeye_spark.plans.checkpoint import run_checkpointed
+from redeye_spark.sources.io import resolve_io
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="redeye-spark", description=__doc__)
+    fmt = p.add_mutually_exclusive_group(required=True)
+    fmt.add_argument("--common-format", action="store_true", help="parse NCSA Common Log Format")
+    fmt.add_argument("--combined-format", action="store_true", help="parse NCSA Combined Log Format")
+    p.add_argument("--input", required=True, help="input table path (tokenized sequences)")
+    p.add_argument("--output", required=True, help="output base dir / catalog namespace")
+    p.add_argument("--parallelism", type=int, default=None, help="explicit repartition width before the parse UDF")
+    p.add_argument("--checkpoint-dir", default=None, help="enable chunked checkpoint/resume")
+    p.add_argument("--chunks", type=int, default=8, help="checkpoint chunk count")
+    p.add_argument("--resume", action="store_true", help="skip chunks already complete in the manifest")
+    p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument("--no-salted-agg", action="store_true")
+    p.add_argument("--bucket", default="hour", choices=["minute", "hour", "day"])
+    p.add_argument("--master", default=None, help="override master (tests); omit under spark-submit")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    from redeye_spark.session import get_spark
+
+    spark = get_spark("redeye-spark-job", master=args.master)
+    cfg = PipelineConfig(
+        fmt=FORMAT_COMBINED if args.combined_format else FORMAT_COMMON,
+        num_partitions=args.parallelism,
+        bucket_granularity=args.bucket,
+        salt_buckets=args.salt_buckets,
+        use_salted_agg=not args.no_salted_agg,
+    )
+    io = resolve_io(spark, args.output)
+    raw = spark.read.parquet(args.input)
+
+    if args.checkpoint_dir:
+        if not args.resume:
+            # fresh run: a stale manifest would silently skip chunks
+            import shutil
+
+            if os.path.exists(args.checkpoint_dir):
+                shutil.rmtree(args.checkpoint_dir)
+        manifest = run_checkpointed(
+            spark, raw, io, args.checkpoint_dir, cfg, n_chunks=args.chunks
+        )
+        chunks = manifest["chunks"].values()
+        stats = {
+            "rows_in": sum(c["rows_in"] for c in chunks),
+            "rows_ok": sum(c["rows_ok"] for c in chunks),
+            "rows_err": sum(c["rows_err"] for c in chunks),
+            "chunks": len(chunks),
+        }
+    else:
+        res = run_pipeline(spark, raw, io, cfg)
+        stats = {
+            "rows_in": res.rows_in,
+            "rows_ok": res.rows_ok,
+            "rows_err": res.rows_err,
+            "sinks": res.sink_rows,
+            "wall_sec": round(res.wall_sec, 3),
+        }
+
+    if stats["rows_err"]:
+        print(f"warning: {stats['rows_err']} lines routed to dead-letter", file=sys.stderr)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

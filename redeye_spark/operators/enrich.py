@@ -1,0 +1,70 @@
+"""Broadcast enrichment joins (target-only; reference has no joins —
+SURVEY §2.2). All three dims are tiny, so every join is an explicit
+broadcast hash join: map-side, no shuffle of the fact stream.
+
+  * status_class: status_code -> '1xx'..'5xx'
+  * ua_family:    first token of the user agent -> family
+  * source_meta:  source -> (region, tier)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schema import DIM_SOURCE_META, DIM_STATUS_CLASS, DIM_UA_FAMILY
+
+# Leading product token of a User-Agent ("Mozilla/5.0 (...)" -> "Mozilla").
+UA_TOKEN_RE = r"^([A-Za-z][A-Za-z0-9._-]*)"
+
+UA_FAMILIES = [
+    ("Mozilla", "browser"),
+    ("Opera", "browser"),
+    ("curl", "cli"),
+    ("Wget", "cli"),
+    ("python-requests", "cli"),
+    ("Go-http-client", "cli"),
+    ("Googlebot", "bot"),
+    ("bingbot", "bot"),
+    ("Baiduspider", "bot"),
+    ("facebookexternalhit", "bot"),
+]
+
+
+def dim_status_class(spark: SparkSession) -> DataFrame:
+    rows = [(code, f"{code // 100}xx") for code in range(100, 600)]
+    return spark.createDataFrame(rows, DIM_STATUS_CLASS)
+
+
+def dim_ua_family(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(UA_FAMILIES, DIM_UA_FAMILY)
+
+
+def enrich(
+    parsed: DataFrame,
+    status_dim: DataFrame,
+    ua_dim: DataFrame,
+    source_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Left-join the three dims, broadcast-hinted.
+
+    Unknown-but-present values get a default bucket ('other' family,
+    'unknown' class) while absent inputs stay NULL — enrichment must not
+    resurrect fields redeye omitted.
+    """
+    out = (
+        parsed.join(F.broadcast(status_dim), on="status_code", how="left")
+        .withColumn(
+            "status_class",
+            F.when(F.col("status_code").isNotNull(), F.coalesce(F.col("status_class"), F.lit("unknown"))),
+        )
+        .withColumn("ua_token", F.regexp_extract(F.col("user_agent"), UA_TOKEN_RE, 1))
+        .join(F.broadcast(ua_dim), on="ua_token", how="left")
+        .withColumn(
+            "ua_family",
+            F.when(F.col("user_agent").isNotNull(), F.coalesce(F.col("ua_family"), F.lit("other"))),
+        )
+        .drop("ua_token")
+    )
+    if source_dim is not None:
+        out = out.join(F.broadcast(source_dim), on="source", how="left")
+    return out

@@ -1,0 +1,119 @@
+"""The parse operator: tokenized sequences -> parsed events.
+
+One mapInPandas exchange does detokenize + regex parse + error classify
+(Arrow-batched; the only Python hop in the whole plan — everything before
+it is a columnar scan, everything after is JVM-side Catalyst). This
+lifts the reference's per-line loop (src/bin/redeye.rs:82-89) into a
+single vectorized distributed operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.logparse import FORMAT_COMMON, parse_lines
+from ..functions.tokens import detokenize, tokens_equal
+from ..schema import parsed_schema
+
+
+def parse_sequences(
+    df: DataFrame,
+    fmt: str = FORMAT_COMMON,
+    carry_tokens: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, tokens, n_tok, source) -> parsed-event rows.
+
+    num_partitions: explicit round-robin repartition BEFORE the UDF so the
+    Python workers see even batches regardless of input-file skew (north
+    rule: explicit repartitioning). Round-robin, not by `source` — the
+    hot-source key must never become the partitioning key of the parse
+    stage.
+
+    carry_tokens=False prunes the token array immediately after the parse:
+    at 10^12 rows the raw bytes dominate width, and Catalyst cannot prune
+    columns *through* a mapInPandas boundary, so the choice happens here.
+    """
+    if num_partitions:
+        df = df.repartition(num_partitions)
+
+    schema = parsed_schema(carry_tokens)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            lines = detokenize(b["tokens"])
+            out = parse_lines(lines, fmt)
+            out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))
+            out.insert(1, "source", b["source"].reset_index(drop=True))
+            if carry_tokens:
+                out.insert(2, "tokens", b["tokens"].reset_index(drop=True))
+            yield out
+
+    return df.mapInPandas(fn, schema=schema)
+
+
+def validate_tokens(parsed: DataFrame) -> DataFrame:
+    """Append token_ok: retokenize(message) == tokens (FIXTURES §3.1).
+
+    redeye guarantees message == trimmed input line (parser.rs:165,306),
+    so for pre-trimmed generator lines this must hold for every row,
+    including dead-letter rows (their message is the trimmed raw line).
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(parsed.schema.fields + [T.StructField("token_ok", T.BooleanType())])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            b = b.reset_index(drop=True)
+            b["token_ok"] = tokens_equal(b["message"], b["tokens"])
+            yield b
+
+    return parsed.mapInPandas(fn, schema=out_schema)
+
+
+def logstash_struct() -> Column:
+    """The Logstash JSON object as a Spark struct, field names exactly as
+    redeye emits them (parser.rs:154-166,291-307): "@timestamp",
+    "@version", nested request_headers with literal key "user-agent".
+
+    to_json drops NULL fields by default, reproducing redeye's key
+    omission for '-' values (parser.rs:522-528); the request_headers
+    struct is NULLed when both children are absent so the whole key
+    vanishes (complete_mapping, parser.rs:447-452).
+    """
+    return F.struct(
+        F.col("remote_host"),
+        F.col("ident"),
+        F.col("remote_user"),
+        F.col("timestamp_str").alias("@timestamp"),
+        F.col("requested_url"),
+        F.col("method"),
+        F.col("requested_uri"),
+        F.col("protocol"),
+        F.col("status_code"),
+        F.col("content_length"),
+        F.when(
+            F.col("referer").isNotNull() | F.col("user_agent").isNotNull(),
+            F.struct(F.col("referer"), F.col("user_agent").alias("user-agent")),
+        ).alias("request_headers"),
+        F.col("version").alias("@version"),
+        F.col("message"),
+    )
+
+
+def to_logstash_json(parsed: DataFrame) -> DataFrame:
+    """JSON-lines sink projection (S2, src/bin/redeye.rs:86-87):
+    one JSON string per ok row. Key order differs from the reference's
+    HashMap order, which is nondeterministic anyway (README pipes through
+    `jq -S`); comparisons must be key-order-insensitive."""
+    return parsed.filter(F.col("error_kind").isNull()).select(
+        F.col("doc_id"), F.to_json(logstash_struct()).alias("json")
+    )

@@ -1,0 +1,109 @@
+"""End-to-end pipeline plan: scan -> repartition -> parse (one Arrow UDF)
+-> broadcast enrich -> route tag -> {partitioned sink write, per-sink
+aggregate counts}.
+
+This is the declarative analog of redeye's per-line loop
+(src/bin/redeye.rs:82-89), built so Catalyst keeps everything except the
+single mapInPandas exchange inside whole-stage codegen:
+
+  scan(parquet/iceberg)                  — columnar, pruned
+  repartition(n)                        — explicit, round-robin (even UDF load)
+  mapInPandas(detok+parse+classify)     — the only Python hop
+  broadcast joins ×3                    — map-side, no shuffle
+  tag sink (case expression)            — codegen
+  write partitionBy(sink)               — single pass over the data
+  groupBy(sink,bucket,keys).count()     — salted two-phase option
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.logparse import FORMAT_COMMON
+from ..operators import aggregate as agg_op
+from ..operators import enrich as enrich_op
+from ..operators import parse_op
+from ..operators import route as route_op
+from ..sources.io import TableIO
+
+
+@dataclass
+class PipelineConfig:
+    fmt: str = FORMAT_COMMON
+    num_partitions: int | None = None  # explicit repartition before the UDF
+    carry_tokens: bool = False  # True only when the invariant is checked inline
+    bucket_granularity: str = "hour"
+    salt_buckets: int = 16
+    use_salted_agg: bool = True
+    routes: list = field(default_factory=lambda: list(route_op.DEFAULT_ROUTES))
+
+
+def build_tagged(
+    spark: SparkSession,
+    raw: DataFrame,
+    cfg: PipelineConfig,
+    source_dim: DataFrame | None = None,
+) -> DataFrame:
+    """raw sequences -> parsed + enriched + sink-tagged DataFrame (lazy)."""
+    parsed = parse_op.parse_sequences(
+        raw, fmt=cfg.fmt, carry_tokens=cfg.carry_tokens, num_partitions=cfg.num_partitions
+    )
+    enriched = enrich_op.enrich(
+        parsed,
+        enrich_op.dim_status_class(spark),
+        enrich_op.dim_ua_family(spark),
+        source_dim,
+    )
+    return route_op.tag_routes(enriched, cfg.routes)
+
+
+@dataclass
+class PipelineResult:
+    rows_in: int
+    rows_ok: int
+    rows_err: int
+    sink_rows: dict[str, int]
+    wall_sec: float
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw: DataFrame,
+    io: TableIO,
+    cfg: PipelineConfig | None = None,
+    source_dim: DataFrame | None = None,
+    events_table: str = "events",
+    agg_table: str = "agg_counts",
+    write_mode: str = "overwrite",
+) -> PipelineResult:
+    """Execute the full plan: one pass writes all sinks, second (cheap)
+    pass over the cached tagged stream computes aggregates + counters."""
+    cfg = cfg or PipelineConfig()
+    t0 = time.monotonic()
+
+    tagged = build_tagged(spark, raw, cfg, source_dim)
+    tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        io.write(tagged, events_table, mode=write_mode, partition_by=["sink"])
+
+        counts = agg_op.salted_counts(tagged, cfg.bucket_granularity, cfg.salt_buckets) \
+            if cfg.use_salted_agg else agg_op.sink_counts(tagged, cfg.bucket_granularity)
+        io.write(counts, agg_table, mode=write_mode)
+
+        per_sink = {r["sink"]: r["n"] for r in route_op.route_counts(tagged).collect()}
+    finally:
+        tagged.unpersist()
+
+    rows_err = per_sink.get(route_op.DEAD_LETTER, 0)
+    rows_in = sum(per_sink.values())
+    return PipelineResult(
+        rows_in=rows_in,
+        rows_ok=rows_in - rows_err,
+        rows_err=rows_err,
+        sink_rows=per_sink,
+        wall_sec=time.monotonic() - t0,
+    )

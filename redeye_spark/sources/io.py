@@ -1,0 +1,97 @@
+"""Table IO: Iceberg when a catalog is configured, Parquet dirs otherwise.
+
+The north rule targets Iceberg tables; this sandbox ships no Iceberg
+runtime jar, so the writer interface is swappable: `resolve_io` returns
+an Iceberg-backed implementation when `spark.sql.catalog.<name>` is
+configured (cluster deployments pass
+--packages org.apache.iceberg:iceberg-spark-runtime-*), else Parquet
+directories with an identical logical layout (table name -> path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        raise NotImplementedError
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        raise NotImplementedError
+
+    def location(self, table: str) -> str:
+        raise NotImplementedError
+
+
+class ParquetIO(TableIO):
+    """Parquet-directory tables under a base dir (sandbox default)."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+
+    def location(self, table: str) -> str:
+        return os.path.join(self.base_dir, table)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.location(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        # 'overwrite_partitions' = replace only the partitions present in df
+        # (requires spark.sql.sources.partitionOverwriteMode=dynamic, set in
+        # session.DEFAULT_CONF) — the idempotent commit unit for resume.
+        w = df.write.mode("overwrite" if mode == "overwrite_partitions" else mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.location(table))
+
+
+class IcebergIO(TableIO):
+    """Iceberg catalog tables (requires the iceberg-spark-runtime jar)."""
+
+    def __init__(self, catalog: str, namespace: str = "redeye"):
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def location(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.format("iceberg").load(self.location(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        writer = df.writeTo(self.location(table))
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif mode == "append":
+            writer.append()
+        elif mode == "overwrite_partitions":
+            writer.overwritePartitions()
+        else:
+            raise ValueError(f"unsupported mode for iceberg: {mode}")
+
+
+def iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    except Exception:
+        impl = None
+    if not impl:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def resolve_io(spark: SparkSession, base_dir: str, catalog: str = "iceberg") -> TableIO:
+    if iceberg_available(spark, catalog):
+        return IcebergIO(catalog)
+    return ParquetIO(base_dir)

@@ -1,0 +1,227 @@
+"""Spark end-to-end tests: datagen -> parse -> enrich -> route -> aggregate,
+with a DuckDB/pandas oracle for the aggregate counts (FIXTURES §3)."""
+
+import json
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redeye_spark.functions.logparse import FORMAT_COMBINED, parse_lines
+from redeye_spark.functions import tokens as tok
+from redeye_spark.operators import enrich as enrich_op
+from redeye_spark.operators import parse_op, route as route_op, aggregate as agg_op
+from redeye_spark.plans.pipeline import PipelineConfig, run_pipeline
+from redeye_spark.plans.checkpoint import final_counts, run_checkpointed
+from redeye_spark.schema import RAW_SEQUENCES
+from redeye_spark.sources.datagen import gen_frame, source_meta_frame
+from redeye_spark.sources.io import ParquetIO
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def gen(spark):
+    pdf = gen_frame(N, fmt=FORMAT_COMBINED, seed=7, malformed_rate=0.05)
+    raw = spark.createDataFrame(pdf.drop(columns=["line"]), schema=RAW_SEQUENCES)
+    return pdf, raw
+
+
+@pytest.fixture(scope="module")
+def tagged(spark, gen):
+    pdf, raw = gen
+    parsed = parse_op.parse_sequences(raw, fmt=FORMAT_COMBINED, carry_tokens=True)
+    enriched = enrich_op.enrich(
+        parsed,
+        enrich_op.dim_status_class(spark),
+        enrich_op.dim_ua_family(spark),
+        spark.createDataFrame(source_meta_frame()),
+    )
+    t = route_op.tag_routes(enriched)
+    t.persist()
+    yield pdf, t
+    t.unpersist()
+
+
+def oracle_parse(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Independent oracle: the pure-pandas parser (unit-tested against the
+    reference fixtures) applied to the original *lines*, bypassing
+    tokenization and Spark entirely."""
+    out = parse_lines(pdf["line"], FORMAT_COMBINED)
+    out["doc_id"] = pdf["doc_id"].values
+    out["source"] = pdf["source"].values
+    return out
+
+
+class TestParseOperator:
+    def test_row_count_preserved(self, tagged):
+        pdf, t = tagged
+        assert t.count() == len(pdf)
+
+    def test_matches_pandas_oracle_field_for_field(self, tagged):
+        pdf, t = tagged
+        got = (
+            t.select("doc_id", "remote_host", "remote_user", "timestamp_str", "method",
+                     "requested_uri", "protocol", "status_code", "content_length",
+                     "referer", "user_agent", "message", "error_kind")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exp = oracle_parse(pdf)[got.columns].sort_values("doc_id").reset_index(drop=True)
+        for c in got.columns:
+            ge, ee = got[c], exp[c]
+            both_na = ge.isna() & ee.isna()
+            eq = (ge == ee) | both_na
+            assert eq.all(), f"{c}: {got[~eq].head()} vs {exp[~eq].head()}"
+
+    def test_token_invariant_all_rows(self, spark, gen):
+        pdf, raw = gen
+        parsed = parse_op.parse_sequences(raw, fmt=FORMAT_COMBINED, carry_tokens=True)
+        checked = parse_op.validate_tokens(parsed)
+        assert checked.filter(~F.col("token_ok")).count() == 0
+
+    def test_json_output_key_omission(self, tagged):
+        pdf, t = tagged
+        js = t.filter(F.col("error_kind").isNull()).select(
+            F.to_json(parse_op.logstash_struct()).alias("j")
+        ).limit(500).collect()
+        for r in js:
+            d = json.loads(r.j)
+            assert d["@version"] == "1"
+            assert "error_kind" not in d
+            assert None not in d.values()
+            if "request_headers" in d:
+                assert d["request_headers"]  # never an empty object
+
+
+class TestEnrichRoute:
+    def test_routes_are_total_and_exclusive(self, tagged):
+        pdf, t = tagged
+        assert t.filter(F.col("sink").isNull()).count() == 0
+        per_sink = {r["sink"]: r["n"] for r in route_op.route_counts(t).collect()}
+        assert sum(per_sink.values()) == len(pdf)
+        assert route_op.DEAD_LETTER in per_sink  # malformed rate > 0
+
+    def test_dead_letter_matches_oracle(self, tagged):
+        pdf, t = tagged
+        exp = oracle_parse(pdf)
+        exp_bad = exp[exp["error_kind"].notna()]
+        got_bad = t.filter(F.col("sink") == route_op.DEAD_LETTER).select(
+            "doc_id", "error_kind").toPandas()
+        assert len(got_bad) == len(exp_bad)
+        merged = got_bad.merge(exp_bad[["doc_id", "error_kind"]], on="doc_id", suffixes=("_g", "_e"))
+        assert (merged["error_kind_g"] == merged["error_kind_e"]).all()
+
+    def test_status_class_enrichment(self, tagged):
+        pdf, t = tagged
+        bad = t.filter(
+            F.col("status_code").isNotNull()
+            & (F.col("status_class") != F.concat(F.floor(F.col("status_code") / 100).cast("string"), F.lit("xx")))
+        )
+        assert bad.count() == 0
+
+    def test_ua_family(self, tagged):
+        pdf, t = tagged
+        rows = t.filter(F.col("user_agent").isNotNull()).select("user_agent", "ua_family").distinct().collect()
+        for r in rows:
+            ua, fam = r["user_agent"], r["ua_family"]
+            if ua.startswith(("Mozilla", "Opera")):
+                assert fam == "browser", (ua, fam)
+            elif ua.startswith(("curl", "Wget", "python-requests")):
+                assert fam == "cli", (ua, fam)
+            elif ua.startswith(("Googlebot", "bingbot")):
+                assert fam == "bot", (ua, fam)
+
+    def test_source_meta_joined(self, tagged):
+        pdf, t = tagged
+        assert t.filter(F.col("region").isNull()).count() == 0
+
+
+class TestAggregates:
+    def test_salted_equals_plain(self, tagged):
+        pdf, t = tagged
+        plain = agg_op.sink_counts(t).toPandas()
+        salted = agg_op.salted_counts(t, salt_buckets=8).toPandas()
+        key = ["sink", "bucket", "status_class", "method", "source"]
+        p = plain.sort_values(key).reset_index(drop=True)
+        s = salted[p.columns].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(p, s)
+
+    def test_counts_match_duckdb_oracle(self, tagged):
+        pdf, t = tagged
+        got = agg_op.sink_counts(t).toPandas()
+        # Build oracle input from the pandas parse + same enrich/route logic in SQL.
+        exp_events = oracle_parse(pdf)
+        con = duckdb.connect()
+        con.register("ev", exp_events)
+        exp = con.sql("""
+            WITH e AS (
+              SELECT *,
+                CASE WHEN error_kind IS NOT NULL THEN NULL
+                     WHEN status_code IS NULL THEN NULL
+                     ELSE CAST(status_code // 100 AS VARCHAR) || 'xx' END AS status_class,
+                CASE WHEN error_kind IS NOT NULL THEN 'dead_letter'
+                     WHEN status_code // 100 = 2 THEN 'sink_2xx'
+                     WHEN status_code // 100 = 3 THEN 'sink_3xx'
+                     WHEN status_code // 100 IN (4,5) THEN 'sink_4xx5xx'
+                     ELSE 'sink_other' END AS sink,
+                date_trunc('hour', timestamp) AS bucket
+              FROM ev)
+            SELECT sink, bucket, status_class, method, source, COUNT(*) AS n
+            FROM e GROUP BY ALL
+        """).df()
+        key = ["sink", "bucket", "status_class", "method", "source"]
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp[got.columns].sort_values(key).reset_index(drop=True)
+        g["bucket"] = pd.to_datetime(g["bucket"], utc=True).astype("datetime64[us, UTC]")
+        e["bucket"] = pd.to_datetime(e["bucket"], utc=True).astype("datetime64[us, UTC]")
+        e["n"] = e["n"].astype("int64")
+        pd.testing.assert_frame_equal(g, e)
+
+
+class TestPipelineAndCheckpoint:
+    def test_full_pipeline_writes_sinks(self, spark, gen, tmp_path_factory):
+        pdf, raw = gen
+        out = str(tmp_path_factory.mktemp("out"))
+        io = ParquetIO(out)
+        res = run_pipeline(spark, raw, io, PipelineConfig(fmt=FORMAT_COMBINED, num_partitions=8),
+                           source_dim=spark.createDataFrame(source_meta_frame()))
+        assert res.rows_in == len(pdf)
+        assert res.rows_err > 0 and res.rows_ok + res.rows_err == res.rows_in
+        back = io.read(spark, "events")
+        assert back.count() == len(pdf)
+        assert set(r["sink"] for r in back.select("sink").distinct().collect()) == set(res.sink_rows)
+
+    def test_checkpoint_resume_equivalence(self, spark, gen, tmp_path_factory):
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt"))
+        cfg = PipelineConfig(fmt=FORMAT_COMBINED)
+        dims = spark.createDataFrame(source_meta_frame())
+
+        # Uninterrupted reference run.
+        io_a = ParquetIO(os.path.join(base, "a"))
+        run_checkpointed(spark, raw, io_a, os.path.join(base, "ckpt_a"), cfg, n_chunks=4, source_dim=dims)
+
+        # Killed-after-2-chunks run, then resumed.
+        io_b = ParquetIO(os.path.join(base, "b"))
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_checkpointed(spark, raw, io_b, os.path.join(base, "ckpt_b"), cfg,
+                             n_chunks=4, source_dim=dims, fail_after=2)
+        manifest = run_checkpointed(spark, raw, io_b, os.path.join(base, "ckpt_b"), cfg,
+                                    n_chunks=4, source_dim=dims)
+        assert sum(1 for c in manifest["chunks"].values() if c["status"] == "complete") == 4
+        assert all("hash_sum" in c["input"] for c in manifest["chunks"].values())
+
+        # Sink-for-sink equality (FIXTURES §3.5).
+        key = ["doc_id"]
+        a = io_a.read(spark, "events").select("doc_id", "sink", "status_code").toPandas().sort_values(key).reset_index(drop=True)
+        b = io_b.read(spark, "events").select("doc_id", "sink", "status_code").toPandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        fa = final_counts(spark, io_a).toPandas()
+        fb = final_counts(spark, io_b).toPandas()
+        k = ["sink", "bucket", "status_class", "method", "source"]
+        pd.testing.assert_frame_equal(
+            fa.sort_values(k).reset_index(drop=True), fb[fa.columns].sort_values(k).reset_index(drop=True)
+        )
