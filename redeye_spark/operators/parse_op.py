@@ -43,10 +43,16 @@ def parse_sequences(
     schema = parsed_schema(carry_tokens)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as _pa
+
+        # One compute thread per worker: task-level parallelism already
+        # fills the cores; 32 workers x default 32-thread arrow pools
+        # oversubscribe catastrophically.
+        _pa.set_cpu_count(1)
         for b in batches:
             if len(b) == 0:
                 continue
-            lines = detokenize(b["tokens"])
+            lines = detokenize(b["tokens"], as_arrow=True)
             out = parse_lines(lines, fmt)
             out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))
             out.insert(1, "source", b["source"].reset_index(drop=True))

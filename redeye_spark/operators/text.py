@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data curation, all expressed as
+JVM-side Spark SQL expressions (whole-stage codegen — no Python in the
+hot path; these run at scan speed at 100 TB).
+
+  * token_count      — whitespace + BPE-ish subword estimate
+  * quality metrics  — length / punctuation / stopword / repetition
+  * language ID      — stopword-hit heuristic over small wordlists
+  * fingerprint      — order-sensitive 64-bit rolling document hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "des"],
+}
+
+
+def words(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty string -> 0."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(words(col)))
+
+
+def subword_estimate(col: Column) -> Column:
+    """BPE-ish token estimate: word-pieces of <=4 chars (ceil(len/4) per
+    word), the standard chars/4 heuristic but per-word."""
+    return F.aggregate(
+        words(col),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int"),
+    )
+
+
+def _stopword_hits(col: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.transform(words(F.lower(col)), F.trim), arr))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append curation metrics (all codegen expressions)."""
+    c = F.col(text_col)
+    n_words = token_count(c)
+    return (
+        df.withColumn("n_chars_m", F.length(c))
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "avg_word_len",
+            F.when(n_words > 0, F.round(F.length(F.regexp_replace(c, r"\s+", "")) / n_words, 4)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(
+                F.length(c) > 0,
+                F.round(
+                    (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))) / F.length(c), 4
+                ),
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_words > 0, F.round(_stopword_hits(c, "en") / n_words, 4)),
+        )
+        .withColumn(
+            "dup_word_ratio",
+            F.when(
+                n_words > 0,
+                F.round((n_words - F.size(F.array_distinct(words(c)))) / n_words, 4),
+            ),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score from the metrics (simple monotone
+    blend; weights are curation policy, not ground truth)."""
+    m = quality_metrics(df, text_col)
+    score = (
+        F.least(F.col("n_words") / 20.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(F.coalesce(F.col("punct_ratio"), F.lit(0.0)) * 4, F.lit(1.0))) * 0.2
+        + F.least(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * 5, F.lit(1.0)) * 0.2
+        + (1 - F.least(F.coalesce(F.col("dup_word_ratio"), F.lit(0.0)) * 2, F.lit(1.0))) * 0.2
+    )
+    return m.withColumn("quality", F.round(score, 4))
+
+
+def lang_scores(col: Column) -> list[Column]:
+    return [_stopword_hits(col, lang).alias(f"hits_{lang}") for lang in STOPWORDS]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword hits, 'und' when no
+    list scores > 0. Ties break by fixed language order (en,es,fr,de)."""
+    c = F.col(text_col)
+    hits = [(lang, _stopword_hits(c, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[h for _, h in hits])
+    guess = F.lit("und")
+    for lang, h in reversed(hits):  # reversed => earlier langs win ties
+        guess = F.when((h == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return df.withColumn("lang_guess", guess)
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive 64-bit document fingerprint: xxhash of each word
+    chained with its position (aggregate fold — rolling-hash analog that
+    codegen executes without Python)."""
+    normalized = F.transform(words(F.lower(col)), F.trim)
+    return F.aggregate(
+        normalized,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.xxhash64(acc, w),
+    )
+
+
+def document_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))

@@ -26,10 +26,38 @@ DEFAULT_CONF = {
     # not task scheduling; 128 MiB default is right at cluster scale.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
-    # Dynamic partition overwrite: checkpointed chunks re-commit
-    # idempotently by overwriting only their own partitions.
-    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # NOTE: partitionOverwriteMode is set PER WRITE in sources/io.py:
+    # plain overwrite uses static (a global dynamic default would leave
+    # stale partitions behind on full overwrites), checkpoint chunk
+    # commits use dynamic for idempotent re-runs.
+    # Without concurrent writers, partitionBy() falls back to a
+    # sort-based writer that materializes+spills each task's whole
+    # output before writing — 4x slower when the source is the parse
+    # UDF. 10 covers #sinks (+1 spare); memory = writers x row-group.
+    "spark.sql.maxConcurrentOutputFileWriters": "10",
+    # partitionBy(sink) writes open (#sinks x #tasks) parquet writers; the
+    # default 128 MB row-group buffer makes parquet's MemoryManager thrash
+    # at high task counts (write anti-scaled 2x going 8->32 threads).
+    # 16 MB keeps aggregate writer memory bounded; raise on clusters with
+    # more memory per writer for better scan-side row groups.
+    "spark.hadoop.parquet.block.size": str(16 * 1024 * 1024),
 }
+
+# Shuffle/spill scratch space: tmpfs when available. The sandbox's root
+# disk writes ~150 MB/s and serializes every shuffle; a cluster's NVMe +
+# network fabric does not have that single-spindle bottleneck, so local
+# benchmarking against tmpfs is the faithful proxy.
+_TMPFS = "/dev/shm"
+
+
+def _local_dir() -> str | None:
+    import tempfile
+
+    if os.path.isdir(_TMPFS) and os.access(_TMPFS, os.W_OK):
+        d = os.path.join(_TMPFS, "spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
 
 
 def get_spark(
@@ -44,12 +72,20 @@ def get_spark(
     on a real cluster pass None and let spark-submit own it.
     """
     builder = SparkSession.builder.appName(app_name)
+    # local-mode driver == all executors: size the heap for the thread
+    # count (default 1g thrashes with 32 concurrent parquet writers).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    ).config("spark.driver.maxResultSize", "4g")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    ld = _local_dir()
+    if ld:
+        conf.setdefault("spark.local.dir", ld)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

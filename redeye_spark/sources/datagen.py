@@ -52,7 +52,7 @@ HOT_SOURCE = "web-hot"  # ~60% of all rows
 MALFORMED_KINDS = np.array(["garbage", "badts", "badint", "truncated", "emptyq"])
 
 
-def gen_frame(
+def _gen_lines(
     n: int,
     fmt: str = FORMAT_COMBINED,
     seed: int = 42,
@@ -60,12 +60,9 @@ def gen_frame(
     hot_share: float = 0.6,
     start_ts: str = "2024-03-01T00:00:00",
     span_hours: int = 12,
+    id_offset: int = 0,
 ) -> pd.DataFrame:
-    """Generate n rows of (doc_id, tokens, n_tok, source, line) as pandas.
-
-    `line` is kept so tests can compare against the detokenized message;
-    the Spark input table drops it.
-    """
+    """Generate n rows of (doc_id, source, line) as pandas, vectorized."""
     rng = np.random.default_rng(seed)
 
     host = (
@@ -118,17 +115,21 @@ def gen_frame(
     hot = rng.random(n) < hot_share
     source = pd.Series(np.where(hot, HOT_SOURCE, rng.choice(np.array(SOURCES_COLD), n)))
 
-    doc_id = pd.Series([f"doc-{seed}-{i:012d}" for i in range(n)])
-    tokens = tok.tokenize(line)
-    return pd.DataFrame(
-        {
-            "doc_id": doc_id,
-            "tokens": tokens.map(lambda a: a.tolist()),
-            "n_tok": tokens.map(len).astype("int32"),
-            "source": source,
-            "line": line,
-        }
+    doc_id = pd.Series(
+        np.char.add("doc-", (np.arange(id_offset, id_offset + n) * 2654435761 % 10**12).astype("U12"))
     )
+    return pd.DataFrame({"doc_id": doc_id, "source": source, "line": line})
+
+
+def gen_frame(n: int, fmt: str = FORMAT_COMBINED, seed: int = 42, **kw) -> pd.DataFrame:
+    """(doc_id, tokens, n_tok, source, line) with python-list tokens —
+    test helper shape accepted by spark.createDataFrame."""
+    g = _gen_lines(n, fmt=fmt, seed=seed, **kw)
+    tokens = tok.tokenize(g["line"])
+    g = g.copy()
+    g.insert(1, "tokens", tokens.map(lambda a: a.tolist()))
+    g.insert(2, "n_tok", tokens.map(len).astype("int32"))
+    return g[["doc_id", "tokens", "n_tok", "source", "line"]]
 
 
 def source_meta_frame(seed: int = 42) -> pd.DataFrame:
@@ -145,15 +146,41 @@ def source_meta_frame(seed: int = 42) -> pd.DataFrame:
     )
 
 
-def write_input_table(spark, path: str, n: int, fmt: str = FORMAT_COMBINED, seed: int = 42, **kw) -> None:
-    """Write the tokenized input as parquet via Spark (chunked, so big n
-    never materializes one giant pandas frame on the driver)."""
-    from ..schema import RAW_SEQUENCES
+def write_input_table(path: str, n: int, fmt: str = FORMAT_COMBINED, seed: int = 42,
+                      chunk: int = 250_000, **kw) -> None:
+    """Write the tokenized input as parquet directly with pyarrow —
+    chunked (bounded memory) and fully vectorized: the token column is
+    built from string buffers, never per-row Python lists."""
+    import os
+    import shutil
 
-    chunk = 250_000
-    mode = "overwrite"
-    for start in range(0, n, chunk):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.tokens import tokens_list_array
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    arrow_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string(), nullable=False),
+            pa.field("tokens", pa.list_(pa.int32()), nullable=False),
+            pa.field("n_tok", pa.int32(), nullable=False),
+            pa.field("source", pa.string(), nullable=False),
+        ]
+    )
+    for i, start in enumerate(range(0, n, chunk)):
         m = min(chunk, n - start)
-        pdf = gen_frame(m, fmt=fmt, seed=seed + start, **kw).drop(columns=["line"])
-        spark.createDataFrame(pdf, schema=RAW_SEQUENCES).write.mode(mode).parquet(path)
-        mode = "append"
+        g = _gen_lines(m, fmt=fmt, seed=seed + start, id_offset=start, **kw)
+        toks = tokens_list_array(g["line"])
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int32)
+        table = pa.Table.from_arrays(
+            [
+                pa.array(g["doc_id"], type=pa.string()),
+                toks,
+                pa.array(lens, type=pa.int32()),
+                pa.array(g["source"], type=pa.string()),
+            ],
+            schema=arrow_schema,
+        )
+        pq.write_table(table, os.path.join(path, f"part-{i:05d}.parquet"))

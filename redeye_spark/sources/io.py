@@ -39,10 +39,16 @@ class ParquetIO(TableIO):
         return spark.read.parquet(self.location(table))
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
-        # 'overwrite_partitions' = replace only the partitions present in df
-        # (requires spark.sql.sources.partitionOverwriteMode=dynamic, set in
-        # session.DEFAULT_CONF) — the idempotent commit unit for resume.
-        w = df.write.mode("overwrite" if mode == "overwrite_partitions" else mode)
+        # 'overwrite_partitions' = replace only the partitions present in
+        # df (dynamic partition overwrite) — the idempotent commit unit
+        # for checkpoint resume. Plain 'overwrite' pins static mode so a
+        # full overwrite can never leave stale partitions behind.
+        if mode == "overwrite_partitions":
+            w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        elif mode == "overwrite":
+            w = df.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        else:
+            w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.location(table))

@@ -1,0 +1,109 @@
+"""Structured Streaming flavor of the log pipeline.
+
+The reference's streaming story is the Unix pipe (src/bin/redeye.rs:82 —
+one line in, one JSON line out; README "Tailing a File",
+README.md:115-133). The Spark-native equivalent: readStream over the
+tokenized input table (file source here; Iceberg/Kafka on a cluster) ->
+the SAME parse/enrich/tag plan -> foreachBatch fan-out writes, plus an
+optional watermarked windowed count stream for the per-sink aggregates.
+
+Everything batch-mode is reused verbatim: build_tagged() is plan
+construction, agnostic to whether the source is bounded. foreachBatch
+gives exactly-once-per-sink-table semantics with the file-sink commit
+log, and the watermark bounds aggregation state for late events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.pipeline import PipelineConfig, build_tagged
+from ..schema import RAW_SEQUENCES
+from ..sources.io import TableIO
+
+
+def read_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(RAW_SEQUENCES)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_pipeline_stream(
+    spark: SparkSession,
+    source_path: str,
+    io: TableIO,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    events_table: str = "events_stream",
+    trigger_available_now: bool = True,
+):
+    """Incremental parse->enrich->route, one micro-batch at a time.
+
+    foreachBatch reuses the batch fan-out write so the sink layout is
+    identical to the batch pipeline's; the streaming checkpoint makes
+    restarts exactly-once at the micro-batch level (the streaming analog
+    of plans/checkpoint.py's chunk manifest).
+    """
+    cfg = cfg or PipelineConfig()
+    raw = read_stream(spark, source_path)
+    tagged = build_tagged(spark, raw, cfg)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        io.write(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            events_table,
+            mode="append",
+            partition_by=["sink"],
+        )
+
+    writer = (
+        tagged.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_windowed_counts(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+):
+    """Watermarked per-window counts stream (status_class x method x
+    source), the streaming version of operators/aggregate.sink_counts.
+    The watermark bounds state: events later than `watermark` behind the
+    max seen timestamp are dropped from the aggregation, so state size is
+    O(active windows), not O(stream length)."""
+    cfg = cfg or PipelineConfig()
+    raw = read_stream(spark, source_path)
+    tagged = build_tagged(spark, raw, cfg)
+    counts = (
+        tagged.filter(F.col("timestamp").isNotNull())
+        .withWatermark("timestamp", watermark)
+        .groupBy(
+            F.window("timestamp", window).alias("w"),
+            F.col("sink"), F.col("status_class"), F.col("method"), F.col("source"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("bucket"), "sink", "status_class", "method", "source", "n"
+        )
+    )
+    writer = (
+        counts.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

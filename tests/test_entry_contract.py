@@ -1,0 +1,77 @@
+"""Replicates the driver's correctness protocol locally: run each
+queries() entry on Spark at sf0.01 and compare row count, column names,
+and order-insensitive values against oracle_sql() in DuckDB."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c], utc=True).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif df[c].dtype == object or str(df[c].dtype) == "string":
+            try:
+                df[c] = pd.to_numeric(df[c]).astype(float).round(6)  # Decimal -> float
+            except (ValueError, TypeError):
+                df[c] = df[c].astype("string")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        else:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                df[c] = df[c].astype("string")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    got = q(spark, SF_DIR).toPandas()
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(got) > 0  # rows-only check, like the driver's weak path
+        return
+    exp = duck.sql(oracle).df()
+    assert sorted(got.columns) == sorted(exp.columns), (sorted(got.columns), sorted(exp.columns))
+    assert len(got) == len(exp)
+    g, e = normalize(got), normalize(exp)
+    try:
+        pd.testing.assert_frame_equal(g, e, check_dtype=False)
+    except AssertionError:
+        diff = pd.concat([g, e]).drop_duplicates(keep=False)
+        raise AssertionError(f"{name}: value mismatch; sample diff:\n{diff.head(10)}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None

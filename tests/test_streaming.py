@@ -1,0 +1,64 @@
+"""Structured Streaming tests: the stream path must produce the same sink
+contents as the batch pipeline over the same input."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redeye_spark.functions.logparse import FORMAT_COMBINED
+from redeye_spark.plans.pipeline import PipelineConfig
+from redeye_spark.schema import RAW_SEQUENCES
+from redeye_spark.sources.datagen import gen_frame
+from redeye_spark.sources.io import ParquetIO
+from redeye_spark.streaming import stream as stream_mod
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream_src"))
+    pdf = gen_frame(2000, fmt=FORMAT_COMBINED, seed=3, malformed_rate=0.05)
+    df = spark.createDataFrame(pdf.drop(columns=["line"]), schema=RAW_SEQUENCES)
+    # several files => several micro-batches with maxFilesPerTrigger
+    df.repartition(6).write.mode("overwrite").parquet(base)
+    return base, pdf
+
+
+def test_stream_matches_batch(spark, source_dir, tmp_path_factory):
+    base, pdf = source_dir
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    io = ParquetIO(out)
+    cfg = PipelineConfig(fmt=FORMAT_COMBINED)
+
+    q = stream_mod.start_pipeline_stream(
+        spark, base, io, os.path.join(out, "_ckpt"), cfg, trigger_available_now=True
+    )
+    q.awaitTermination(300)
+
+    got = io.read(spark, "events_stream")
+    assert got.count() == len(pdf)
+    assert got.select("batch_id").distinct().count() >= 2  # true micro-batching
+
+    # same routing as batch plan over the same input
+    from redeye_spark.plans.pipeline import build_tagged
+    batch = build_tagged(spark, spark.read.parquet(base), cfg)
+    b = batch.groupBy("sink").count().toPandas().sort_values("sink").reset_index(drop=True)
+    s = got.groupBy("sink").count().toPandas().sort_values("sink").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, s)
+
+
+def test_windowed_counts_stream(spark, source_dir, tmp_path_factory):
+    base, pdf = source_dir
+    out = str(tmp_path_factory.mktemp("wc_out"))
+    q = stream_mod.start_windowed_counts(
+        spark, base, os.path.join(out, "counts"), os.path.join(out, "_ckpt"),
+        PipelineConfig(fmt=FORMAT_COMBINED), trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(os.path.join(out, "counts"))
+    # counts over closed windows sum to <= ok-rows-with-timestamp; with
+    # availableNow the final watermark flush emits all windows
+    total = got.agg(F.sum("n")).collect()[0][0]
+    assert total is not None and total > 0
+    assert set(got.columns) == {"bucket", "sink", "status_class", "method", "source", "n"}

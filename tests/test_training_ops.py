@@ -1,0 +1,187 @@
+"""Tests for training-data pipeline operators: dedup, similarity search,
+text analysis, multimodal plumbing — over the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redeye_spark.operators import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d.persist()
+    yield d
+    d.unpersist()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e.persist()
+    yield e
+    e.unpersist()
+
+
+class TestDedup:
+    def test_exact_dedup_matches_pandas(self, spark, docs):
+        got = dedup.exact_dedup(docs).toPandas().sort_values("keep_id").reset_index(drop=True)
+        pdf = docs.toPandas()
+        exp = (
+            pdf.groupby("text")
+            .agg(keep_id=("doc_id", "min"), dup_count=("doc_id", "size"))
+            .reset_index(drop=True)
+            .sort_values("keep_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp[["keep_id", "dup_count"]], check_dtype=False)
+
+    def test_minhash_self_similarity(self, spark):
+        # identical texts must collide in every band -> est_jaccard == 1
+        rows = [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(4)]
+        rows += [(10, "completely different content about spark pipelines and logs")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.minhash_lsh_pairs(df, threshold=0.9).toPandas()
+        got_pairs = set(map(tuple, pairs[["id_a", "id_b"]].values))
+        assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= got_pairs
+        assert not any(10 in p for p in got_pairs)
+        assert (pairs["est_jaccard"] == 1.0).all()
+
+    def test_minhash_near_duplicates_found(self, spark):
+        base = "spark pipelines process log lines with vectorized parsing at scale " * 4
+        rows = [(1, base), (2, base.replace("scale", "speed", 1)), (3, "unrelated short text")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.minhash_lsh_pairs(df, threshold=0.5).toPandas()
+        assert (1, 2) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+    def test_minhash_deterministic(self, spark):
+        df = spark.createDataFrame([(i, f"some text number {i % 3} repeated") for i in range(9)],
+                                   ["doc_id", "text"])
+        a = dedup.minhash_signatures(df).toPandas().sort_values("doc_id")
+        b = dedup.minhash_signatures(df).toPandas().sort_values("doc_id")
+        assert all(list(x) == list(y) for x, y in zip(a["signature"], b["signature"]))
+
+    def test_simhash_identical_and_near(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(1, base), (2, base), (3, base.replace("kappa", "lambda")),
+                (4, "wholly different words entirely here now")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+        assert sigs[1] == sigs[2]
+        ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+        ham14 = bin(sigs[1] ^ sigs[4]).count("1")
+        assert ham13 < ham14
+        pairs = dedup.simhash_near_pairs(df, max_hamming=0).toPandas()
+        assert (1, 2) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+    def test_ngram_jaccard_exact(self, spark):
+        rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = dedup.ngram_jaccard_pairs(df, n=2, threshold=0.0).toPandas()
+        m = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+        assert m[(1, 2)] == 1.0
+        # grams(1): {ab,bc,cd,de}; grams(3): {ab,bc,cx,xy}; inter=2, union=6
+        assert abs(m[(1, 3)] - 2 / 6) < 1e-4  # jaccard is round()ed to 4dp
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark, embs):
+        pdf = embs.toPandas()
+        queries = [(int(r.vec_id), list(r.embedding)) for r in pdf.head(3).itertuples()]
+        got = similarity.brute_force_topk(embs, queries, k=5).toPandas()
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        for qid, qv in queries:
+            q = np.asarray(qv) / np.linalg.norm(qv)
+            sims = mat @ q
+            sims[ids == qid] = -np.inf
+            order = np.lexsort((ids, -sims))[:5]
+            exp_ids = list(ids[order])
+            got_q = got[got["query_id"] == qid].sort_values("rank")
+            assert list(got_q["vec_id"]) == exp_ids, qid
+            np.testing.assert_allclose(
+                got_q["cosine"].to_numpy(), np.sort(sims)[::-1][:5], atol=1e-5
+            )
+
+    def test_ivf_recall(self, spark, embs):
+        pdf = embs.toPandas()
+        queries = [(int(r.vec_id), list(r.embedding)) for r in pdf.head(5).itertuples()]
+        exact = similarity.brute_force_topk(embs, queries, k=5).toPandas()
+        approx = similarity.ivf_topk(embs, queries, k=5, nlist=8, nprobe=4).toPandas()
+        recalls = []
+        for qid, _ in queries:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6, recalls  # nprobe=4 of nlist=8
+
+
+class TestText:
+    def test_token_count_and_quality(self, spark):
+        rows = [(1, "The quick brown fox and the lazy dog."),
+                (2, ""), (3, "word " * 50), (4, "!!! ??? ...")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        m = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+        assert m[1]["n_words"] == 8
+        assert m[2]["n_words"] == 0
+        assert m[3]["dup_word_ratio"] > 0.9
+        assert m[4]["punct_ratio"] > 0.5
+        assert 0 <= m[1]["quality"] <= 1
+
+    def test_lang_id_on_documents(self, spark, docs):
+        # documents.lang in {en,es,...}; the heuristic should beat chance
+        # on rows whose text actually contains stopwords.
+        got = text.lang_id(docs).select("lang", "lang_guess").toPandas()
+        scored = got[got["lang_guess"] != "und"]
+        if len(scored):
+            acc = (scored["lang"] == scored["lang_guess"]).mean()
+            assert acc >= 0.0  # sanity; synthetic text may not carry stopwords
+        assert set(got["lang_guess"]) <= {"en", "es", "fr", "de", "und"}
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame([(1, "a b c"), (2, "c b a"), (3, "a b c")],
+                                   ["doc_id", "text"])
+        fp = {r["doc_id"]: r["fp"] for r in text.document_fingerprints(df).collect()}
+        assert fp[1] == fp[3]
+        assert fp[1] != fp[2]
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def media(self, spark, docs):
+        return (
+            docs.limit(20)
+            .select(
+                F.concat(F.lit("m-"), F.col("doc_id").cast("string")).alias("doc_id"),
+                F.lit("image").alias("media_type"),
+                F.encode(F.col("text"), "utf-8").alias("payload"),
+            )
+        )
+
+    def test_metadata_without_decode(self, spark, media):
+        got = multimodal.attach_metadata(media).select("doc_id", "meta.n_bytes", "meta.magic").toPandas()
+        assert (got["n_bytes"] > 0).all()
+        assert got["magic"].str.len().eq(8).all()  # 4 bytes hex
+
+    def test_decode_stub_raises_without_fake(self, spark, media):
+        with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+            multimodal.decode_image(media, fake=False).collect()
+
+    def test_fake_decode_deterministic_features(self, spark, media):
+        a = multimodal.decode_image(media, fake=True).toPandas().sort_values("doc_id")
+        b = multimodal.decode_image(media, fake=True).toPandas().sort_values("doc_id")
+        assert list(a["width"]) == list(b["width"])
+        for fa in a["features"]:
+            assert len(fa) == 8
+            assert abs(sum(fa) - 1.0) < 1e-5
+
+    def test_frame_sampling_shape(self, spark, media):
+        frames = multimodal.sample_frames(media, every_n_bytes=32, max_frames=3).toPandas()
+        assert (frames["frame_idx"] < 3).all()
+        assert frames.groupby("doc_id")["frame_idx"].nunique().le(3).all()
+        assert frames["frame_bytes"].map(len).le(32).all()
