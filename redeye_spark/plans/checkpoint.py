@@ -108,22 +108,23 @@ def run_checkpointed(
         fp = input_fingerprint(raw, chunk, n_chunks)
 
         tagged = build_tagged(spark, part, cfg, source_dim).withColumn("chunk_id", F.lit(chunk))
-        tagged = tagged.persist()
-        try:
-            # Idempotent commit unit: each chunk overwrites only its own
-            # chunk_id=... partitions, so a rerun of a half-written chunk
-            # (killed after the sink write but before the manifest write)
-            # replaces rather than duplicates.
-            io.write(tagged, events_table, mode="overwrite_partitions", partition_by=["chunk_id", "sink"])
-            counts = (
-                agg_op.salted_counts(tagged, cfg.bucket_granularity, cfg.salt_buckets)
-                if cfg.use_salted_agg
-                else agg_op.sink_counts(tagged, cfg.bucket_granularity)
-            ).withColumn("chunk_id", F.lit(chunk))
-            io.write(counts, agg_table, mode="overwrite_partitions", partition_by=["chunk_id"])
-            per_sink = {r["sink"]: r["n"] for r in route_op.route_counts(tagged).collect()}
-        finally:
-            tagged.unpersist()
+        # Idempotent commit unit: each chunk overwrites only its own
+        # chunk_id=... partitions, so a rerun of a half-written chunk
+        # (killed after the sink write but before the manifest write)
+        # replaces rather than duplicates. No persist — the committed
+        # chunk partitions are the reuse point (partition-pruned reads).
+        io.write(tagged, events_table, mode="overwrite_partitions", partition_by=["chunk_id", "sink"])
+        chunk_events = io.read(spark, events_table).filter(F.col("chunk_id") == chunk)
+        counts = (
+            agg_op.salted_counts(chunk_events, cfg.bucket_granularity, cfg.salt_buckets)
+            if cfg.use_salted_agg
+            else agg_op.sink_counts(chunk_events, cfg.bucket_granularity)
+        ).withColumn("chunk_id", F.lit(chunk))
+        io.write(counts, agg_table, mode="overwrite_partitions", partition_by=["chunk_id"])
+        per_sink = {
+            r["sink"]: r["n"]
+            for r in counts.groupBy("sink").agg(F.sum("n").alias("n")).collect()
+        }
 
         rows_err = per_sink.get(route_op.DEAD_LETTER, 0)
         manifest["chunks"][key] = {

@@ -20,7 +20,6 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.logparse import FORMAT_COMMON
@@ -85,18 +84,23 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
     t0 = time.monotonic()
 
+    # No persist: the committed events table IS the reuse point. The parse
+    # UDF runs exactly once (the sink write); the aggregate pass re-reads
+    # the columnar sink with column pruning (5 narrow columns), which at
+    # any scale beats caching the full wide stream on-heap — and the
+    # route totals then fall out of the aggregate table for free.
     tagged = build_tagged(spark, raw, cfg, source_dim)
-    tagged.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        io.write(tagged, events_table, mode=write_mode, partition_by=["sink"])
+    io.write(tagged, events_table, mode=write_mode, partition_by=["sink"])
 
-        counts = agg_op.salted_counts(tagged, cfg.bucket_granularity, cfg.salt_buckets) \
-            if cfg.use_salted_agg else agg_op.sink_counts(tagged, cfg.bucket_granularity)
-        io.write(counts, agg_table, mode=write_mode)
+    events_back = io.read(spark, events_table)
+    counts = agg_op.salted_counts(events_back, cfg.bucket_granularity, cfg.salt_buckets) \
+        if cfg.use_salted_agg else agg_op.sink_counts(events_back, cfg.bucket_granularity)
+    io.write(counts, agg_table, mode=write_mode)
 
-        per_sink = {r["sink"]: r["n"] for r in route_op.route_counts(tagged).collect()}
-    finally:
-        tagged.unpersist()
+    per_sink = {
+        r["sink"]: r["n"]
+        for r in io.read(spark, agg_table).groupBy("sink").agg(F.sum("n").alias("n")).collect()
+    }
 
     rows_err = per_sink.get(route_op.DEAD_LETTER, 0)
     rows_in = sum(per_sink.values())
