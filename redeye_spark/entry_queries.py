@@ -75,6 +75,23 @@ def _frags(dialect: str) -> dict[str, str]:
                  "WHEN event_type = 'error' AND event_id % 3 = 2 THEN 'badint' "
                  "ELSE 'ok' END"),
     }
+    # Combined-format extras: quoted referer / user-agent. "-" inside
+    # quotes parses then drops (parser.rs:522-528); the 'emptyq' malformed
+    # kind emits "" which ([^"]+) rejects (parser.rs:269-270).
+    f["referer"] = ("CASE CAST(event_id % 4 AS INT) WHEN 0 THEN '-' "
+                    "WHEN 1 THEN 'http://www.example.com/start.html' "
+                    "WHEN 2 THEN 'https://search.example.org/?q=x' ELSE '-' END")
+    f["ua"] = ("CASE CAST(event_id % 6 AS INT) "
+               "WHEN 0 THEN 'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36' "
+               "WHEN 1 THEN 'curl/8.4.0' "
+               "WHEN 2 THEN 'Mozilla/4.08 [en] (Win98; I ;Nav)' "
+               "WHEN 3 THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)' "
+               "WHEN 4 THEN '-' ELSE 'python-requests/2.31.0' END")
+    f["badk_combined"] = ("CASE WHEN event_type = 'error' AND event_id % 4 = 0 THEN 'garbage' "
+                          "WHEN event_type = 'error' AND event_id % 4 = 1 THEN 'badts' "
+                          "WHEN event_type = 'error' AND event_id % 4 = 2 THEN 'badint' "
+                          "WHEN event_type = 'error' AND event_id % 4 = 3 THEN 'emptyq' "
+                          "ELSE 'ok' END")
     f["ts_piece"] = f"CASE WHEN {f['badk']} = 'badts' THEN 'not-a-time' ELSE {f['ts_fmt']} || ' ' || {f['off_str']} END"
     f["status_piece"] = f"CASE WHEN {f['badk']} = 'badint' THEN 'NaN' ELSE {f['status_str']} END"
     f["line"] = (
@@ -83,24 +100,40 @@ def _frags(dialect: str) -> dict[str, str]:
         f"|| '\"' || {f['method']} || ' ' || {f['uri']} || ' ' || {f['proto']} || '\" ' "
         f"|| {f['status_piece']} || ' ' || {f['clen_str']} END"
     )
+    # combined line shares the common core but uses badk_combined for the
+    # malformed taxonomy, + trailing quoted headers
+    tsp = f"CASE WHEN {f['badk_combined']} = 'badts' THEN 'not-a-time' ELSE {f['ts_fmt']} || ' ' || {f['off_str']} END"
+    stp = f"CASE WHEN {f['badk_combined']} = 'badint' THEN 'NaN' ELSE {f['status_str']} END"
+    uap = f"CASE WHEN {f['badk_combined']} = 'emptyq' THEN '' ELSE {f['ua']} END"
+    f["line_combined"] = (
+        f"CASE WHEN {f['badk_combined']} = 'garbage' THEN 'this is not a log line ' || CAST(event_id AS {s}) "
+        f"ELSE {f['host']} || ' - ' || {f['user_str']} || ' [' || {tsp} || '] ' "
+        f"|| '\"' || {f['method']} || ' ' || {f['uri']} || ' ' || {f['proto']} || '\" ' "
+        f"|| {stp} || ' ' || {f['clen_str']} "
+        f"|| ' \"' || {f['referer']} || '\" \"' || {uap} || '\"' END"
+    )
     return f
 
 
-def _spark_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_lines(spark: SparkSession, sf_dir: str, fmt: str = FORMAT_COMMON) -> DataFrame:
     """events -> (doc_id, source, line) with session TZ pinned to UTC so
     naive parquet timestamps render identically to DuckDB."""
+    from .functions.logparse import FORMAT_COMBINED
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     f = _frags("spark")
+    line = f["line_combined"] if fmt == FORMAT_COMBINED else f["line"]
     return spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
         f"{f['doc_id']} AS doc_id",
         "event_type AS source",
-        f"{f['line']} AS line",
+        f"{line} AS line",
     )
 
 
-def _parsed(spark: SparkSession, sf_dir: str, carry_tokens: bool = False) -> DataFrame:
-    raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir))
-    return parse_op.parse_sequences(raw, fmt=FORMAT_COMMON, carry_tokens=carry_tokens)
+def _parsed(spark: SparkSession, sf_dir: str, carry_tokens: bool = False,
+            fmt: str = FORMAT_COMMON) -> DataFrame:
+    raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir, fmt))
+    return parse_op.parse_sequences(raw, fmt=fmt, carry_tokens=carry_tokens)
 
 
 def _oracle_base() -> str:
@@ -384,3 +417,306 @@ ORACLES = {
     "nation_revenue": SQL_NATION_REVENUE,
     "last_event_per_user": SQL_LAST_EVENT_PER_USER,
 }
+
+
+# ---------------------------------------------------------------------------
+# Combined-format parse (P4 + quirks 3/4: quoted headers, emptyq rejects)
+# ---------------------------------------------------------------------------
+
+def q_parse_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.logparse import FORMAT_COMBINED
+
+    return _parsed(spark, sf_dir, fmt=FORMAT_COMBINED).select(
+        "doc_id", "remote_host", "timestamp_str", "status_code",
+        "referer", "user_agent", "error_kind",
+    )
+
+
+def _oracle_combined_base() -> str:
+    f = _frags("duck")
+    return f"""
+cbase AS (
+  SELECT
+    {f['doc_id']} AS doc_id,
+    {f['badk_combined']} AS badk,
+    {f['host']} AS e_host,
+    {f['iso_fmt']} || {f['off_rfc']} AS e_ts_str,
+    CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST({_STATUS} AS BIGINT) END AS e_status,
+    CASE WHEN {f['referer']} = '-' THEN NULL ELSE {f['referer']} END AS e_referer,
+    CASE WHEN {f['ua']} = '-' THEN NULL ELSE {f['ua']} END AS e_ua
+  FROM events
+),
+cexpected AS (
+  SELECT doc_id,
+    CASE WHEN badk = 'badts' THEN 'TimestampParseError'
+         WHEN badk IN ('garbage', 'badint', 'emptyq') THEN 'ParseError' END AS error_kind,
+    CASE WHEN badk = 'ok' THEN e_host END AS remote_host,
+    CASE WHEN badk = 'ok' THEN e_ts_str END AS timestamp_str,
+    CASE WHEN badk = 'ok' THEN e_status END AS status_code,
+    CASE WHEN badk = 'ok' THEN e_referer END AS referer,
+    CASE WHEN badk = 'ok' THEN e_ua END AS user_agent
+  FROM cbase
+)"""
+
+
+SQL_PARSE_COMBINED = f"""
+WITH {_oracle_combined_base()}
+SELECT doc_id, remote_host, timestamp_str, status_code, referer, user_agent, error_kind
+FROM cexpected
+"""
+
+
+def q_enrich_ua_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast UA-family lookup join over combined-format parses."""
+    from .functions.logparse import FORMAT_COMBINED
+
+    parsed = _parsed(spark, sf_dir, fmt=FORMAT_COMBINED)
+    enriched = enrich_op.enrich(
+        parsed, enrich_op.dim_status_class(spark), enrich_op.dim_ua_family(spark)
+    )
+    return (
+        enriched.filter(F.col("user_agent").isNotNull())
+        .groupBy("ua_family")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_ENRICH_UA_FAMILY = f"""
+WITH {_oracle_combined_base()}
+SELECT CASE WHEN user_agent LIKE 'Mozilla%' OR user_agent LIKE 'Opera%' THEN 'browser'
+            WHEN user_agent LIKE 'curl%' OR user_agent LIKE 'Wget%'
+                 OR user_agent LIKE 'python-requests%' OR user_agent LIKE 'Go-http-client%' THEN 'cli'
+            WHEN user_agent LIKE 'Googlebot%' OR user_agent LIKE 'bingbot%'
+                 OR user_agent LIKE 'Baiduspider%' OR user_agent LIKE 'facebookexternalhit%' THEN 'bot'
+            ELSE 'other' END AS ua_family,
+       COUNT(*) AS n
+FROM cexpected WHERE user_agent IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over documents / embeddings (first-class coverage)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_op.quality_metrics(docs).select(
+        "doc_id", "n_words", "avg_word_len", "punct_ratio", "dup_word_ratio"
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n_words,
+       CASE WHEN len(ws) > 0 AND length(trim(text)) > 0
+            THEN round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(ws), 4) END AS avg_word_len,
+       CASE WHEN length(text) > 0
+            THEN round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text), 4) END AS punct_ratio,
+       CASE WHEN len(ws) > 0 AND length(trim(text)) > 0
+            THEN round((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 4) END AS dup_word_ratio
+FROM w
+"""
+
+
+def q_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        text_op.token_count(F.col("text")).cast("long").alias("n_words"),
+        text_op.subword_estimate(F.col("text")).cast("long").alias("n_subwords"),
+    )
+
+
+SQL_SUBWORD_TOKENS = r"""
+WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
+       CAST(list_aggregate(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS INT)), 'sum') AS BIGINT) AS n_subwords
+FROM w
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_op.lang_id(docs).groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _stop_sql(lang: str) -> str:
+    from .operators.text import STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect(ws, [{words}]))"
+
+
+SQL_LANG_ID = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id, {_stop_sql('en')} AS h_en, {_stop_sql('es')} AS h_es,
+         {_stop_sql('fr')} AS h_fr, {_stop_sql('de')} AS h_de
+  FROM w
+)
+SELECT CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+            WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+            ELSE 'de' END AS lang_guess,
+       COUNT(*) AS n
+FROM h GROUP BY 1
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 3 vectors (exact ANN
+    baseline). Returns ranks only — cross-engine float hashing of the
+    cosine itself is not stable at the last ulp."""
+    from .operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    top = similarity.brute_force_topk(embs, queries, k=5)
+    return top.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_SIMILARITY_TOPK = """
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 3
+) WHERE rank <= 5
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.5
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media-column plumbing: metadata projection without decode
+    (documents.text bytes stand in for opaque payloads)."""
+    from .operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.substring(F.col("text"), 1, 64), "utf-8").alias("payload"),
+    )
+    m = multimodal.attach_metadata(media)
+    return m.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.magic").alias("magic"))
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n_bytes,
+       upper(hex(encode(substr(text, 1, 4)))) AS magic
+FROM documents
+"""
+
+
+# Signature-based near-dup ops: deterministic but their hash functions
+# (xxhash64 chains, siphash) have no DuckDB equivalent — driver records
+# the weaker rows-only check for these.
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_op.document_fingerprints(docs)
+
+
+QUERIES.update({
+    "parse_combined": q_parse_combined,
+    "enrich_ua_family": q_enrich_ua_family,
+    "dedup_exact": q_dedup_exact,
+    "text_quality": q_text_quality,
+    "subword_tokens": q_subword_tokens,
+    "lang_id": q_lang_id,
+    "similarity_topk": q_similarity_topk,
+    "ngram_jaccard": q_ngram_jaccard,
+    "multimodal_meta": q_multimodal_meta,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_fingerprints": q_doc_fingerprints,
+})
+
+ORACLES.update({
+    "parse_combined": SQL_PARSE_COMBINED,
+    "enrich_ua_family": SQL_ENRICH_UA_FAMILY,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "subword_tokens": SQL_SUBWORD_TOKENS,
+    "lang_id": SQL_LANG_ID,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    # minhash_pairs / simhash_pairs / doc_fingerprints: rows-only
+})
