@@ -1,0 +1,116 @@
+"""Physical-plan quality gates: assert the optimizations the 100 TB
+design depends on are actually in the plan, so refactors can't silently
+regress them (.explain-driven, no data execution)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from redeye_spark.functions.logparse import FORMAT_COMBINED
+from redeye_spark.operators import aggregate as agg_op
+from redeye_spark.operators import enrich as enrich_op
+from redeye_spark.operators import parse_op, route as route_op
+from redeye_spark.plans.pipeline import PipelineConfig, build_tagged
+from redeye_spark.schema import RAW_SEQUENCES
+from redeye_spark.sources.datagen import gen_frame
+from redeye_spark.sources.io import ParquetIO
+
+
+@pytest.fixture(scope="module")
+def raw_path(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("plans"))
+    pdf = gen_frame(500, fmt=FORMAT_COMBINED, seed=5)
+    spark.createDataFrame(pdf.drop(columns=["line"]), schema=RAW_SEQUENCES) \
+        .write.mode("overwrite").parquet(base + "/raw")
+    return base
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_enrich_joins_are_broadcast(spark, raw_path):
+    raw = spark.read.parquet(raw_path + "/raw")
+    tagged = build_tagged(spark, raw, PipelineConfig(fmt=FORMAT_COMBINED))
+    plan = plan_of(tagged)
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # status dim + ua dim
+    assert "SortMergeJoin" not in plan, "enrichment must never shuffle the fact stream"
+
+
+def test_parse_has_no_shuffle_without_repartition(spark, raw_path):
+    raw = spark.read.parquet(raw_path + "/raw")
+    parsed = parse_op.parse_sequences(raw, fmt=FORMAT_COMBINED, carry_tokens=False)
+    plan = plan_of(parsed)
+    assert "Exchange" not in plan, plan  # scan splits feed the UDF directly
+
+
+def test_parse_explicit_repartition_is_roundrobin(spark, raw_path):
+    raw = spark.read.parquet(raw_path + "/raw")
+    parsed = parse_op.parse_sequences(raw, fmt=FORMAT_COMBINED, num_partitions=8)
+    plan = plan_of(parsed)
+    assert "RoundRobinPartitioning" in plan, plan  # never keyed by skewed source
+
+
+def test_agg_on_sink_prunes_columns_and_partitions(spark, raw_path):
+    raw = spark.read.parquet(raw_path + "/raw")
+    tagged = build_tagged(spark, raw, PipelineConfig(fmt=FORMAT_COMBINED))
+    io = ParquetIO(raw_path + "/out")
+    io.write(tagged, "events", partition_by=["sink"])
+
+    ev = io.read(spark, "events")
+    counts = agg_op.sink_counts(ev)
+    plan = plan_of(counts)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # count needs exactly these data columns (sink is a partition col)
+    assert read_cols <= {"timestamp", "status_class", "method", "source"}, read_cols
+    assert "message" not in read_cols and "tokens" not in read_cols
+
+    pruned = ev.filter(F.col("sink") == "sink_2xx").select("doc_id")
+    plan2 = plan_of(pruned)
+    assert re.search(r"PartitionFilters: \[[^\]]*sink", plan2), plan2
+
+
+def test_filter_pushdown_reaches_scan(spark, raw_path):
+    raw = spark.read.parquet(raw_path + "/raw").filter(F.col("source") == "web-hot")
+    plan = plan_of(raw)
+    assert re.search(r"PushedFilters: \[[^\]]*(IsNotNull|EqualTo)\(source", plan), plan
+
+
+def test_salted_agg_is_two_phase(spark, raw_path):
+    raw = spark.read.parquet(raw_path + "/raw")
+    tagged = build_tagged(spark, raw, PipelineConfig(fmt=FORMAT_COMBINED))
+    salted = agg_op.salted_counts(tagged, salt_buckets=8)
+    plan = plan_of(salted)
+    # partial+final for phase 1 (salted keys) and phase 2 (real keys):
+    # at least 3 HashAggregate nodes and an exchange between phases
+    assert plan.count("HashAggregate") >= 3, plan
+    assert "xxhash64" in plan, plan  # salt derivation present
+
+
+def test_route_tag_is_pure_projection(spark, raw_path):
+    raw = spark.read.parquet(raw_path + "/raw")
+    tagged = build_tagged(spark, raw, PipelineConfig(fmt=FORMAT_COMBINED))
+    plan = plan_of(tagged)
+    # tagging must add no SHUFFLE (broadcast exchanges for dims are fine)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_minhash_shuffles_signatures_not_text(spark, raw_path):
+    """The LSH band join must shuffle (id, band, signature) — the raw
+    text column must not appear below any Exchange."""
+    from redeye_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "text " * 50) for i in range(10)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    plan = plan_of(pairs)
+    exchanges = plan.split("Exchange")
+    assert len(exchanges) > 1
+    # 'text' never crosses an exchange: inspect hashpartitioning args
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in frag, frag
