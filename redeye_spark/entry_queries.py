@@ -115,6 +115,12 @@ def _frags(dialect: str) -> dict[str, str]:
     return f
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin session TZ: the driver's session config is unknown, and naive
+    parquet timestamps must render/compare identically to DuckDB."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _spark_lines(spark: SparkSession, sf_dir: str, fmt: str = FORMAT_COMMON) -> DataFrame:
     """events -> (doc_id, source, line) with session TZ pinned to UTC so
     naive parquet timestamps render identically to DuckDB."""
@@ -317,28 +323,29 @@ def q_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregate; decimal sums for cross-engine exactness."""
+    _utc(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice").cast("decimal(18,2)")
                  * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
-    )
+    )  # decimal sums are exact at 2-4dp; the final double cast is lossless (< 2^53)
 
 
 SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -355,7 +362,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -363,7 +370,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NATION_REVENUE = """
 SELECT n_name,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -517,7 +524,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text_op.quality_metrics(docs).select(
-        "doc_id", "n_words", "avg_word_len", "punct_ratio", "dup_word_ratio"
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_word_len", "punct_ratio", "dup_word_ratio",
     )
 
 
@@ -526,7 +535,7 @@ WITH w AS (
   SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents
 )
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS n_words,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
        CASE WHEN len(ws) > 0 AND length(trim(text)) > 0
             THEN round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(ws), 4) END AS avg_word_len,
        CASE WHEN length(text) > 0

@@ -70,6 +70,28 @@ def test_query_matches_oracle(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch; sample diff:\n{diff.head(10)}")
 
 
+def _type_class(dt) -> str:
+    s = str(dt)
+    if "int" in s.lower():
+        return "int"
+    if any(x in s.lower() for x in ("float", "double", "decimal")):
+        return "float"
+    if "bool" in s.lower():
+        return "bool"
+    if any(x in s.lower() for x in ("object", "string", "str")):
+        return "str"
+    return s
+
+
+@pytest.mark.parametrize("name", sorted(k for k in entry_mod.queries() if k in entry_mod.oracle_sql()))
+def test_schema_type_classes_align(spark, duck, name):
+    got = entry_mod.queries()[name](spark, SF_DIR).limit(50).toPandas()
+    exp = duck.sql(entry_mod.oracle_sql()[name]).df().head(50)
+    for c in sorted(got.columns):
+        assert _type_class(got[c].dtype) == _type_class(exp[c].dtype), (
+            name, c, got[c].dtype, exp[c].dtype)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
