@@ -729,3 +729,94 @@ ORACLES.update({
     "multimodal_meta": SQL_MULTIMODAL_META,
     # minhash_pairs / simhash_pairs / doc_fingerprints: rows-only
 })
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + sequence-length stats (window fns / training-data prep)
+# ---------------------------------------------------------------------------
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of parsed requests per remote host
+    (window functions: lag -> gap flag -> running sum)."""
+    from .operators import sessionize as sess_op
+
+    parsed = _parsed(spark, sf_dir).filter(
+        F.col("error_kind").isNull() & F.col("remote_host").isNotNull()
+    )
+    return sess_op.session_stats(parsed, key="remote_host", ts="timestamp", gap_minutes=30)
+
+
+SQL_SESSION_STATS = f"""
+WITH {_oracle_base()},
+ok AS (
+  SELECT remote_host, date_trunc('second', ts_utc) AS t
+  FROM expected WHERE error_kind IS NULL AND remote_host IS NOT NULL
+),
+s AS (
+  SELECT remote_host, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR epoch(t) - epoch(lag(t) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ok WINDOW w AS (PARTITION BY remote_host ORDER BY t)
+),
+s2 AS (
+  SELECT remote_host, t,
+         SUM(new_s) OVER (PARTITION BY remote_host ORDER BY t ROWS UNBOUNDED PRECEDING) AS sn
+  FROM s
+)
+SELECT remote_host,
+       remote_host || '#' || CAST(sn AS VARCHAR) AS session_id,
+       COUNT(*) AS n_requests,
+       CAST(MAX(epoch(t)) - MIN(epoch(t)) AS BIGINT) AS duration_sec
+FROM s2 GROUP BY 1, 2
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the tokenized corpus (training-data
+    length stats; n_tok == line byte length for ASCII lines)."""
+    from .operators import sequences as seq_op
+
+    raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir))
+    return seq_op.length_histogram(raw, bucket=16)
+
+
+SQL_LENGTH_HISTOGRAM = f"""
+WITH {_oracle_base()}
+SELECT CAST(floor(length(line) / 16) * 16 AS BIGINT) AS len_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(length(line)) AS BIGINT) AS total_tok
+FROM base GROUP BY 1
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (rows-only: pack boundaries depend on
+    partition-local arrival order; invariants tested in pytest)."""
+    from .operators import sequences as seq_op
+
+    raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir)).coalesce(4)
+    packed = seq_op.pack_sequences(raw, max_tokens=2048)
+    return packed.select("pack_id", "n_tok", "n_docs")
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (rows-only: threshold
+    comparisons of last-ulp-different doubles are not hash-stable
+    across engines; exactness tested against numpy in pytest)."""
+    from .operators import sequences as seq_op
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return seq_op.cosine_near_dup_pairs(embs, threshold=0.3)
+
+
+QUERIES.update({
+    "session_stats": q_session_stats,
+    "length_histogram": q_length_histogram,
+    "pack_sequences": q_pack_sequences,
+    "cosine_near_dup": q_cosine_near_dup,
+})
+ORACLES.update({
+    "session_stats": SQL_SESSION_STATS,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
+    # pack_sequences / cosine_near_dup: rows-only
+})

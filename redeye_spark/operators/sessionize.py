@@ -1,0 +1,118 @@
+"""Sessionization: group a host's requests into sessions separated by
+idle gaps.
+
+Batch version is pure window functions (lag -> gap flag -> running sum),
+fully Catalyst-planned: one shuffle on the session key, no Python.
+Streaming version keeps per-key state with applyInPandasWithState
+(custom stateful operator — the piece Structured Streaming lacks
+built-in), with a processing-time timeout as the idle flush.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "remote_host",
+    ts: str = "timestamp",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Append session_id = '<key>#<n>' per gap-separated burst.
+
+    Window spec shuffles once on the key; at 10^12 rows a hot key makes
+    one reducer own that key's full history — the standard fix is
+    day-bucketed keys (sessions rarely straddle buckets) which keeps the
+    same plan shape; plain keying is used here.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess_n = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("session_n", sess_n).withColumn(
+        "session_id", F.concat(F.col(key), F.lit("#"), F.col("session_n").cast("string"))
+    )
+
+
+def session_stats(df: DataFrame, key: str = "remote_host", ts: str = "timestamp",
+                  gap_minutes: int = 30) -> DataFrame:
+    """Per-session aggregates: request count + duration seconds."""
+    s = sessionize(df.filter(F.col(ts).isNotNull()), key, ts, gap_minutes)
+    return s.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        (F.max(F.col(ts).cast("long")) - F.min(F.col(ts).cast("long"))).alias("duration_sec"),
+    )
+
+
+SESSION_STATE_SCHEMA = "last_ts long, session_n long, n_requests long, first_ts long"
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("session_id", T.StringType(), False),
+        T.StructField("n_requests", T.LongType(), False),
+        T.StructField("duration_sec", T.LongType(), False),
+    ]
+)
+
+
+def streaming_sessionize(grouped, gap_minutes: int = 30):
+    """State function for GroupedData.applyInPandasWithState.
+
+    Emits a row per CLOSED session (gap exceeded within the batch or
+    state timeout fired). Usage:
+
+        parsed.filter(col("timestamp").isNotNull())
+          .groupBy(col("remote_host"))
+          .applyInPandasWithState(
+              partial(session_update, gap_minutes=30),
+              outputStructType=SESSION_OUT_SCHEMA,
+              stateStructType=SESSION_STATE_SCHEMA,
+              outputMode="append",
+              timeoutConf="ProcessingTimeTimeout")
+    """
+    raise NotImplementedError("use session_update with applyInPandasWithState")
+
+
+def session_update(key, pdfs, state, gap_minutes: int = 30):
+    """applyInPandasWithState update fn (importable + picklable)."""
+    import pandas as pd
+
+    gap = gap_minutes * 60
+    (k,) = key
+    if state.hasTimedOut:
+        last_ts, session_n, n_req, first_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"key": k, "session_id": f"{k}#{session_n}",
+              "n_requests": n_req, "duration_sec": last_ts - first_ts}]
+        )
+        return
+
+    if state.exists:
+        last_ts, session_n, n_req, first_ts = state.get
+    else:
+        last_ts, session_n, n_req, first_ts = None, 0, 0, None
+
+    out = []
+    for pdf in pdfs:
+        ts = pdf["timestamp"].astype("int64") // 1_000_000_000
+        for t in sorted(ts):
+            t = int(t)
+            if last_ts is None:
+                session_n += 1
+                n_req, first_ts = 1, t
+            elif t - last_ts > gap:
+                out.append({"key": k, "session_id": f"{k}#{session_n}",
+                            "n_requests": n_req, "duration_sec": last_ts - first_ts})
+                session_n += 1
+                n_req, first_ts = 1, t
+            else:
+                n_req += 1
+            last_ts = t
+
+    state.update((last_ts, session_n, n_req, first_ts))
+    state.setTimeoutDuration(gap * 1000)
+    if out:
+        yield __import__("pandas").DataFrame(out)
