@@ -54,7 +54,19 @@ class TestSessionize:
              .option("path", base + "/out")
              .option("checkpointLocation", base + "/ckpt")
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        # a stateful query with ProcessingTimeTimeout may keep running to
+        # serve timeouts even under availableNow — poll for the closed-
+        # session output, then stop
+        import time
+
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            done = q.awaitTermination(5)
+            files = (os.path.exists(base + "/out")
+                     and [f for f in os.listdir(base + "/out") if f.endswith(".parquet")])
+            if done or (files and spark.read.parquet(base + "/out").count() > 0):
+                break
+        q.stop()
         out_files = [f for f in os.listdir(base + "/out") if f.endswith(".parquet")]
         got = spark.read.parquet(base + "/out").toPandas() if out_files else pd.DataFrame()
         # all of hostA's first session closes within the batch (gap seen);
