@@ -107,7 +107,13 @@ def run_checkpointed(
         part = raw.filter(chunk_column(n_chunks) == chunk)
         fp = input_fingerprint(raw, chunk, n_chunks)
 
-        tagged = build_tagged(spark, part, cfg, source_dim).withColumn("chunk_id", F.lit(chunk))
+        # part_id records the physical parse partition per row, so the
+        # manifest can carry per-partition metrics (north_rule lineage).
+        tagged = (
+            build_tagged(spark, part, cfg, source_dim)
+            .withColumn("chunk_id", F.lit(chunk))
+            .withColumn("part_id", F.spark_partition_id())
+        )
         # Idempotent commit unit: each chunk overwrites only its own
         # chunk_id=... partitions, so a rerun of a half-written chunk
         # (killed after the sink write but before the manifest write)
@@ -125,6 +131,18 @@ def run_checkpointed(
             r["sink"]: r["n"]
             for r in counts.groupBy("sink").agg(F.sum("n").alias("n")).collect()
         }
+        per_partition = [
+            {"part_id": r["part_id"], "rows": r["rows"], "err": r["err"]}
+            for r in (
+                chunk_events.groupBy("part_id")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.count(F.when(F.col("error_kind").isNotNull(), 1)).alias("err"),
+                )
+                .orderBy("part_id")
+                .collect()
+            )
+        ]
 
         rows_err = per_sink.get(route_op.DEAD_LETTER, 0)
         manifest["chunks"][key] = {
@@ -134,6 +152,7 @@ def run_checkpointed(
             "rows_ok": sum(per_sink.values()) - rows_err,
             "rows_err": rows_err,
             "sinks": per_sink,
+            "partitions": per_partition,
             "wall_sec": round(time.monotonic() - t0, 3),
             "config": {"fmt": cfg.fmt, "salt_buckets": cfg.salt_buckets},
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -225,3 +225,24 @@ class TestPipelineAndCheckpoint:
         pd.testing.assert_frame_equal(
             fa.sort_values(k).reset_index(drop=True), fb[fa.columns].sort_values(k).reset_index(drop=True)
         )
+
+
+class TestIOResolution:
+    def test_resolves_parquet_without_iceberg_catalog(self, spark, tmp_path_factory):
+        from redeye_spark.sources.io import ParquetIO, resolve_io
+
+        io = resolve_io(spark, str(tmp_path_factory.mktemp("io")))
+        assert isinstance(io, ParquetIO)
+
+    def test_manifest_carries_per_partition_metrics(self, spark, gen, tmp_path_factory):
+        from redeye_spark.plans.checkpoint import run_checkpointed
+        from redeye_spark.plans.pipeline import PipelineConfig
+
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt_m"))
+        m = run_checkpointed(spark, raw, ParquetIO(base + "/out"), base + "/ck",
+                             PipelineConfig(fmt=FORMAT_COMBINED), n_chunks=2)
+        for c in m["chunks"].values():
+            assert c["partitions"], c
+            assert sum(p["rows"] for p in c["partitions"]) == c["rows_in"]
+            assert sum(p["err"] for p in c["partitions"]) == c["rows_err"]
