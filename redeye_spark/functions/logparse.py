@@ -145,7 +145,6 @@ def _parse_timestamp(raw: pd.Series) -> tuple[pd.Series, pd.Series, pd.Series]:
     """
     c = raw.str.extract(_TS_COMPONENT_RE)
     c.columns = ["dd", "mon", "yyyy", "hh", "mi", "ss", "osign", "ohh", "omm"]
-    fast = c["dd"].notna()
 
     month_num = c["mon"].map(_MONTHS)
     fields = pd.DataFrame(
@@ -158,6 +157,13 @@ def _parse_timestamp(raw: pd.Series) -> tuple[pd.Series, pd.Series, pd.Series]:
             "second": pd.to_numeric(c["ss"], errors="coerce"),
         }
     )
+    # chrono %H/%M/%S ranges: dict-assembly validates the DATE (Feb 30 ->
+    # NaT) but rolls out-of-range times into the next day — reject them
+    # here (they fall to the strict strptime fallback, which errors).
+    in_range = (
+        (fields["hour"] <= 23) & (fields["minute"] <= 59) & (fields["second"] <= 59)
+    ).fillna(False)
+    fast = c["dd"].notna() & in_range
     # NA rows (null / non-fast) get placeholder fields, masked right after
     # (the dict-assembly path rejects NA ints outright).
     filled = fields.fillna({"year": 1970, "month": 1, "day": 1, "hour": 0, "minute": 0, "second": 0})
