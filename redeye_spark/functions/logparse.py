@@ -421,7 +421,13 @@ def _u64_arrow(field: pa.Array) -> tuple[pd.Series, np.ndarray]:
     # guarantees at most one)
     digits = pc.utf8_ltrim(dashless, "+")
     vals_arr = pc.cast(pc.if_else(fast_ok, digits, pa.scalar(None, pa.string())), pa.int64())
-    vals = pd.Series(vals_arr.to_pandas()).astype("Int64")
+    # Null-aware conversion: a plain to_pandas() on an int64 array holding
+    # ANY null goes through float64 and silently rounds values in
+    # (2^53, 2^63) — e.g. 9007199254740993 -> ...992. Build the masked
+    # Int64 extension array straight from the int64 buffer instead.
+    mask = ~np.asarray(vals_arr.is_valid())
+    ints = vals_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = pd.Series(pd.arrays.IntegerArray(ints, mask))
     present = dashless.is_valid().to_numpy(zero_copy_only=False)
     ok = np.asarray(fast_ok.fill_null(False))
     err = present & ~ok

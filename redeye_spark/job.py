@@ -66,11 +66,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.checkpoint_dir:
         if not args.resume:
-            # fresh run: a stale manifest would silently skip chunks
+            # Fresh run: wipe the manifest AND the sink tables. Chunk
+            # commits use dynamic partition overwrite, which only replaces
+            # partitions present in the new data — a previous run's
+            # partition the new run doesn't produce (e.g. an empty chunk)
+            # would otherwise survive and corrupt the final counts.
             import shutil
 
             if os.path.exists(args.checkpoint_dir):
                 shutil.rmtree(args.checkpoint_dir)
+            io.delete(spark, "events")
+            io.delete(spark, "agg_counts")
         manifest = run_checkpointed(
             spark, raw, io, args.checkpoint_dir, cfg, n_chunks=args.chunks
         )

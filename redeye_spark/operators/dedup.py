@@ -269,18 +269,23 @@ def ngram_jaccard_pairs(
     Pure DataFrame ops: explode distinct n-grams -> inverted-index join
     -> |A∩B| per pair -> Jaccard from per-doc distinct counts. Scoped to
     group_col (e.g. same source) to bound the join at scale."""
+    # Docs with fewer than n words contribute NO grams (the F.when guard:
+    # explode of a NULL array emits no rows) — without it, sequence(0, 0)
+    # yields one sub-n-word "gram" per short doc, which the exact
+    # generate_series-based oracle never produces.
+    ws = F.split(F.col(text_col), r"\s+")
     grams = df.select(
         F.col(id_col),
         *( [F.col(group_col)] if group_col else [] ),
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(F.size(F.split(F.col(text_col), r"\s+")) - n, F.lit(0)),
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(F.split(F.col(text_col), r"\s+"), i + 1, n)),
-                )
+            F.when(
+                F.size(ws) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(ws) - n),
+                        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+                    )
+                ),
             )
         ).alias("gram"),
     )

@@ -10,26 +10,33 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.tokens import tokenize
+from ..functions.tokens import tokens_list_array
 from ..schema import RAW_SEQUENCES
 
 
 def tokenize_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
-    """(doc_id, source, <line_col>) -> (doc_id, tokens, n_tok, source)."""
+    """(doc_id, source, <line_col>) -> (doc_id, tokens, n_tok, source).
+
+    The token column is built buffer-level (tokens_list_array carves the
+    Arrow StringArray's byte buffer into a list<int32> directly) — no
+    per-row Python .tolist() materialization anywhere in the batch.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b) == 0:
                 continue
-            toks = tokenize(b[line_col])
+            toks = tokens_list_array(b[line_col])
+            lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype("int32")
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"].reset_index(drop=True),
-                    "tokens": toks.map(lambda a: a.tolist()).reset_index(drop=True),
-                    "n_tok": toks.map(len).astype("int32").reset_index(drop=True),
+                    "tokens": toks.to_pandas().reset_index(drop=True),
+                    "n_tok": pd.Series(lens),
                     "source": b["source"].reset_index(drop=True),
                 }
             )

@@ -25,6 +25,9 @@ class TableIO:
     def location(self, table: str) -> str:
         raise NotImplementedError
 
+    def delete(self, spark: SparkSession, table: str) -> None:
+        raise NotImplementedError
+
 
 class ParquetIO(TableIO):
     """Parquet-directory tables under a base dir (sandbox default)."""
@@ -52,6 +55,11 @@ class ParquetIO(TableIO):
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.location(table))
+
+    def delete(self, spark: SparkSession, table: str) -> None:
+        import shutil
+
+        shutil.rmtree(self.location(table), ignore_errors=True)
 
 
 class IcebergIO(TableIO):
@@ -81,6 +89,9 @@ class IcebergIO(TableIO):
             writer.overwritePartitions()
         else:
             raise ValueError(f"unsupported mode for iceberg: {mode}")
+
+    def delete(self, spark: SparkSession, table: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {self.location(table)}")
 
 
 def iceberg_available(spark: SparkSession, catalog: str) -> bool:

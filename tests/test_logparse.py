@@ -16,6 +16,7 @@ from redeye_spark.functions.logparse import (
     FORMAT_COMMON,
     event_to_json_dict,
     parse_lines,
+    parse_lines_pandas,
 )
 from redeye_spark.functions import tokens as tok
 
@@ -276,3 +277,23 @@ def test_batch_mixed_errors_classified():
         ERR_PARSE,
         "ok",
     ]
+
+
+def test_large_u64_exact_with_nulls_in_batch():
+    """Int64 values in (2^53, 2^63) must survive exactly even when the
+    batch also contains '-' fields (nulls): a float64 round-trip would
+    silently round 9007199254740993 -> ...992. Both engines must agree."""
+    big = 9007199254740993  # 2^53 + 1
+    lines = pd.Series(
+        [
+            f'1.2.3.4 - - [11/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 {big}',
+            '1.2.3.4 - - [11/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" 200 -',
+            f'1.2.3.4 - - [11/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" {big} 7',
+        ]
+    )
+    for impl in (parse_lines, parse_lines_pandas):
+        out = impl(lines, FORMAT_COMMON)
+        assert out["content_length"].iloc[0] == big, impl.__name__
+        assert pd.isna(out["content_length"].iloc[1]), impl.__name__
+        assert out["status_code"].iloc[2] == big, impl.__name__
+        assert out["error_kind"].isna().all(), impl.__name__
