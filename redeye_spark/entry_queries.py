@@ -625,6 +625,78 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def _ivf_fixed_centroids(nlist: int = 8, dim: int = 64, seed: int = 7):
+    """Deterministic centroids for the driver-checked IVF query: seeded
+    Gaussian directions, normalized. Fixing the centroids (instead of
+    k-means-fitting them) lets the DuckDB oracle embed the SAME values as
+    literals and replicate the FULL IVF semantics — assignment, probing,
+    pruned ranking — in SQL. Production callers use fit_centroids()."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(nlist, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+_IVF_NPROBE = 3
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for the first 3 vectors with fixed centroids: the
+    oracle mirrors list assignment + nprobe probing + in-list ranking
+    exactly, so this verifies the whole IVF plan (assign -> prune ->
+    masked local top-k -> global merge), not just output shape."""
+    from .operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    top = similarity.ivf_topk(
+        embs, queries, k=5, nprobe=_IVF_NPROBE, centroids=_ivf_fixed_centroids()
+    )
+    return top.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _ivf_oracle_sql() -> str:
+    cents = _ivf_fixed_centroids()
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(v)) for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(list_id, cvec) AS (VALUES {rows}),
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.list_id FROM cents c
+          ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.list_id
+          LIMIT 1) AS list_id
+  FROM embeddings e
+),
+probes AS (
+  SELECT q.vec_id AS query_id, c.list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC, c.list_id
+         ) AS pr
+  FROM embeddings q, cents c WHERE q.vec_id < 3
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT p.query_id, a.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(q.embedding, a.embedding) DESC, a.vec_id
+         ) AS rank
+  FROM (SELECT query_id, list_id FROM probes WHERE pr <= {_IVF_NPROBE}) p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+) WHERE rank <= 5
+"""
+
+
+SQL_IVF_TOPK = _ivf_oracle_sql()
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
@@ -710,6 +782,7 @@ QUERIES.update({
     "subword_tokens": q_subword_tokens,
     "lang_id": q_lang_id,
     "similarity_topk": q_similarity_topk,
+    "ivf_topk": q_ivf_topk,
     "ngram_jaccard": q_ngram_jaccard,
     "multimodal_meta": q_multimodal_meta,
     "minhash_pairs": q_minhash_pairs,
@@ -725,6 +798,7 @@ ORACLES.update({
     "subword_tokens": SQL_SUBWORD_TOKENS,
     "lang_id": SQL_LANG_ID,
     "similarity_topk": SQL_SIMILARITY_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # minhash_pairs / simhash_pairs / doc_fingerprints: rows-only

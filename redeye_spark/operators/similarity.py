@@ -6,14 +6,18 @@ Two paths:
     local-topk -> global-topk merge. The classic distributed pattern:
     each partition emits at most n_queries*k rows, so the final shuffle
     is tiny regardless of corpus size.
-  * ivf_topk — IVF-style ANN: k-means centroids fitted on a driver-side
-    sample (seeded), corpus partitioned by nearest centroid, queries
-    probe only `nprobe` nearest lists. At 100 TB the centroid assignment
-    is one map pass and the probe prunes ~(1 - nprobe/nlist) of the
-    corpus from the scan.
+  * ivf_topk — IVF-style ANN: k-means centroids fitted on a seeded
+    driver-side sample, corpus partitioned by nearest centroid, queries
+    probe only `nprobe` nearest lists. The per-query probe set is a tiny
+    (n_queries x nlist) boolean matrix shipped in the UDF closure and
+    applied as a vectorized numpy mask inside the SAME local-topk pass —
+    no per-row Python, no extra join. At 100 TB the global
+    `list_id IN (...)` prune is a partition-pruned scan when the corpus
+    is written partitioned/bucketed by list_id, and the mask costs one
+    fancy-index per Arrow batch.
 
-Embedding-cosine near-duplicate detection reuses brute_force_topk with
-the corpus as its own query set (see tests).
+Embedding-cosine near-duplicate detection at scale lives in
+operators/dedup.cosine_lsh_pairs (random-hyperplane LSH).
 """
 
 from __future__ import annotations
@@ -42,30 +46,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def brute_force_topk(
-    corpus: DataFrame,
-    queries: list[tuple[int, list[float]]],
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    include_self: bool = False,
-) -> DataFrame:
-    """Exact cosine top-k of each query vector against the corpus.
+def _local_topk_fn(
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    include_self: bool,
+    allow: np.ndarray | None = None,  # (n_queries, nlist) probe mask
+    list_col: str = "list_id",
+):
+    """Per-Arrow-batch exact top-k kernel shared by brute-force and IVF.
 
-    queries: [(query_id, vector)] — small, shipped in the UDF closure
-    (the broadcast-side of this 'join'). Returns
-    (query_id, vec_id, cosine) with exactly k rows per query.
-    """
-    qids = np.array([q[0] for q in queries], dtype=np.int64)
-    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    id_type = corpus.schema[id_col].dataType
+    With `allow`, a row contributes to query q only when the row's
+    inverted list is probed by q — exact IVF semantics, applied as one
+    vectorized boolean gather (allow[:, batch_list_ids])."""
 
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             if len(b) == 0:
                 continue
             mat = _normalize(np.vstack(b[vec_col].to_numpy()).astype(np.float64))
             sims = qmat @ mat.T  # (n_queries, batch)
+            if allow is not None:
+                ok = allow[:, b[list_col].to_numpy(dtype=np.int64)]
+                sims = np.where(ok, sims, -np.inf)
             if not include_self:
                 same = qids[:, None] == b[id_col].to_numpy()[None, :]
                 sims = np.where(same, -np.inf, sims)
@@ -79,14 +84,41 @@ def brute_force_topk(
             out = pd.DataFrame(rows)
             yield out[np.isfinite(out["cosine"])]
 
-    local = corpus.select(id_col, vec_col).mapInPandas(local_topk, schema=_topk_schema(id_type))
-    # Global merge: tiny shuffle (partitions x queries x k rows).
+    return fn
+
+
+def _global_topk(local: DataFrame, k: int) -> DataFrame:
+    """Tiny global merge: partitions x queries x k rows through one window."""
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    queries: [(query_id, vector)] — small, shipped in the UDF closure
+    (the broadcast-side of this 'join'). Returns
+    (query_id, vec_id, cosine, rank) with exactly k rows per query.
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    id_type = corpus.schema[id_col].dataType
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        _local_topk_fn(qids, qmat, k, id_col, vec_col, include_self),
+        schema=_topk_schema(id_type),
+    )
+    return _global_topk(local, k)
 
 
 def fit_centroids(
@@ -97,12 +129,15 @@ def fit_centroids(
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """Seeded mini k-means on a driver-side sample (Lloyd iterations in
-    numpy). At 100 TB the sample is a bounded-size sketch of the corpus;
-    fitting never touches the full data."""
-    sample = np.vstack(
-        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()]
-    ).astype(np.float64)
+    """Seeded mini k-means on an unbiased driver-side sample (Lloyd
+    iterations in numpy). The sample is a seeded df.sample() — NOT a
+    limit(), which takes first-rows in scan order and biases centroids
+    toward whatever files happen to sort first. At 100 TB the sample is
+    a bounded-size sketch; fitting never touches the full data."""
+    n = corpus.count()
+    frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
+    sample_df = corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)
+    sample = np.vstack([r[0] for r in sample_df.collect()]).astype(np.float64)
     sample = _normalize(sample)
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), min(nlist, len(sample)), replace=False)]
@@ -149,25 +184,30 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: scan only the nprobe nearest inverted lists per
-    query. Recall is tested against brute_force_topk."""
+    query.
+
+    Plan shape: one `list_id IN (union of probed lists)` prune (a
+    pushdown-able scan filter — partition pruning when the listed corpus
+    is stored partitioned by list_id), then ONE local-topk pass where the
+    per-query probe matrix masks foreign lists numpy-side. No Python UDF,
+    no candidate join, no post-filter. Recall is tested against
+    brute_force_topk."""
     if centroids is None:
         centroids = fit_centroids(corpus, nlist=nlist, vec_col=vec_col, seed=seed)
     listed = assign_lists(corpus, centroids, vec_col)
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
     qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    # stable sort: ties probe the lowest list_id first (matches the SQL
+    # oracle's ORDER BY ... DESC, list_id tiebreak)
+    probe = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :nprobe]
+    allow = np.zeros((len(queries), len(centroids)), dtype=bool)
+    allow[np.arange(len(queries))[:, None], probe] = True
+
     probed_lists = sorted({int(x) for x in probe.ravel()})
     pruned = listed.filter(F.col("list_id").isin(probed_lists))
-    # Per-query list filter: keep (query, row) only when the row's list is
-    # probed by that query — enforced after the cheap global prune.
-    pairs_ok = {(int(q[0]), int(l)) for qi, q in enumerate(queries) for l in probe[qi]}
-    result = brute_force_topk(pruned, queries, k=k * 2, id_col=id_col, vec_col=vec_col)
-    listed_ids = listed.select(F.col(id_col).alias("vec_id"), "list_id")
-    allowed = F.udf(lambda q, l: (q, l) in pairs_ok, T.BooleanType())  # tiny post-filter
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        result.join(listed_ids, on="vec_id")
-        .filter(allowed(F.col("query_id"), F.col("list_id")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+    id_type = corpus.schema[id_col].dataType
+    local = pruned.select(id_col, vec_col, "list_id").mapInPandas(
+        _local_topk_fn(qids, qmat, k, id_col, vec_col, include_self=False, allow=allow),
+        schema=_topk_schema(id_type),
     )
+    return _global_topk(local, k)
