@@ -874,13 +874,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (rows-only: threshold
-    comparisons of last-ulp-different doubles are not hash-stable
-    across engines; exactness tested against numpy in pytest)."""
-    from .operators import sequences as seq_op
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH bucketing
+    + exact in-bucket cosine — no driver-side collect at any scale. The
+    oracle is the EXACT all-pairs cosine threshold in DuckDB, so this
+    checks LSH recall (the band parameters are sized for recall ~1 at
+    the 0.45 threshold: p=0.65, 64 bands x 4 bits -> miss ~4e-6/pair)
+    AND the in-bucket cosine math. Pair ids only: the cosine value's
+    last ulp is not hash-stable across engines (it IS checked against
+    numpy in pytest)."""
+    from .operators import dedup
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return seq_op.cosine_near_dup_pairs(embs, threshold=0.3)
+    pairs = dedup.cosine_lsh_pairs(embs, threshold=0.45, bits_per_band=4, bands=64)
+    return pairs.select("id_a", "id_b")
+
+
+# Threshold margin note: nearest pair cosines to 0.45 in the testdata are
+# 0.4494/0.4516 (sf0.01) and 0.4489/0.4532 (sf0.001) — 1e-3 margins, far
+# beyond any cross-engine float noise.
+SQL_COSINE_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
 
 
 QUERIES.update({
@@ -892,5 +908,6 @@ QUERIES.update({
 ORACLES.update({
     "session_stats": SQL_SESSION_STATS,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
-    # pack_sequences / cosine_near_dup: rows-only
+    "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+    # pack_sequences: rows-only (see q_pack_sequences docstring)
 })

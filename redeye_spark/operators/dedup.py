@@ -256,6 +256,114 @@ def simhash_near_pairs(
     return pairs.select("id_a", "id_b", "hamming")
 
 
+def hyperplane_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_band: int = 8,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band_idx, band_val): random-hyperplane LSH band values.
+
+    One mapInPandas pass: sign bits of X @ H (H = seeded Gaussian,
+    bands*bits_per_band hyperplanes, built deterministically per batch
+    from (seed, dim)), packed per band into an integer. Emits the
+    exploded (id, band) rows directly, so the band join shuffles ~16
+    bytes/row/band — never the vectors."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, False),
+            T.StructField("band_idx", T.IntegerType(), False),
+            T.StructField("band_val", T.LongType(), False),
+        ]
+    )
+    n_bits = bands * bits_per_band
+    weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64)).astype(np.int64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mat = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            if H is None or H.shape[1] != mat.shape[1]:
+                H = np.random.default_rng(seed).normal(size=(n_bits, mat.shape[1]))
+            bits = (mat @ H.T) > 0  # (n, n_bits)
+            vals = (
+                bits.reshape(len(b), bands, bits_per_band).astype(np.int64) * weights
+            ).sum(axis=2)  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(b[id_col].to_numpy(), bands),
+                    "band_idx": np.tile(np.arange(bands, dtype=np.int32), len(b)),
+                    "band_val": vals.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=schema)
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_band: int = 8,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine) at
+    scale: random-hyperplane signatures -> band-bucket self-join (same
+    machinery as the simhash band trick) -> EXACT cosine recomputed
+    JVM-side (zip_with/aggregate, whole-stage codegen) for candidates
+    only, thresholded.
+
+    Fully distributed: no driver-side collect anywhere; only
+    (id, band_idx, band_val) rows cross the candidate shuffle, and the
+    two vector lookups are scans joined on id. Recall per pair at
+    cosine c is 1-(1-p^r)^b with p = 1 - acos(c)/pi: the r=8, b=16
+    default gives ~0.9999 at c=0.95; for lower thresholds use narrower,
+    more numerous bands (e.g. r=4, b=64 covers c~0.45). max_bucket drops
+    degenerate buckets (e.g. all-zero vectors), the standard skew cap.
+    """
+    banded = hyperplane_bands(df, id_col, vec_col, bits_per_band, bands, seed)
+    bucket_sizes = banded.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("bs"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bs") <= max_bucket).drop("bs"),
+        on=["band_idx", "band_val"],
+        how="inner",
+    )
+    l = banded.select("band_idx", "band_val", F.col(id_col).alias("id_a"))
+    r = banded.select("band_idx", "band_val", F.col(id_col).alias("id_b"))
+    cand = (
+        l.join(r, on=["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
+        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -107,50 +107,26 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_broadcast_rows: int = 100_000,
+    bits_per_band: int = 8,
+    bands: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine).
 
-    Small-corpus exact path: the normalized matrix is shipped to every
-    partition (closure broadcast) and each Arrow batch does one matmul
-    against it. At scale, replace the broadcast with LSH bucketing on
-    random hyperplane signatures (same output contract); the guard below
-    makes the scale limit explicit rather than silent.
-    """
-    rows = corpus.select(id_col, vec_col).collect()
-    if len(rows) > max_broadcast_rows:
-        raise ValueError(
-            f"{len(rows)} rows exceed the exact-path broadcast budget; "
-            "use LSH bucketing (dedup.minhash-style) at this scale"
-        )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1
-    mat = mat / norms
+    Fully distributed — random-hyperplane LSH bucketing + exact in-bucket
+    cosine (see dedup.cosine_lsh_pairs); no driver-side collect at any
+    corpus size. The band parameters trade shuffle volume for recall at
+    the chosen threshold: the defaults suit near-dup thresholds >= 0.9;
+    for looser thresholds pass narrower, more numerous bands
+    (e.g. bits_per_band=4, bands=64 for ~0.45)."""
+    from .dedup import cosine_lsh_pairs
 
-    schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType(), False),
-            T.StructField("id_b", T.LongType(), False),
-            T.StructField("cosine", T.DoubleType(), False),
-        ]
+    return cosine_lsh_pairs(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        bits_per_band=bits_per_band,
+        bands=bands,
+        seed=seed,
     )
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            if len(b) == 0:
-                continue
-            bm = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
-            bn = np.linalg.norm(bm, axis=1, keepdims=True)
-            bn[bn == 0] = 1
-            bm = bm / bn
-            sims = bm @ mat.T  # (batch, corpus)
-            bids = b[id_col].to_numpy(dtype=np.int64)
-            ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < ids[None, :]))
-            if len(ii):
-                yield pd.DataFrame(
-                    {"id_a": bids[ii], "id_b": ids[jj], "cosine": np.round(sims[ii, jj], 6)}
-                )
-
-    return corpus.mapInPandas(fn, schema=schema)

@@ -114,3 +114,26 @@ def test_minhash_shuffles_signatures_not_text(spark, raw_path):
     # 'text' never crosses an exchange: inspect hashpartitioning args
     for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in frag, frag
+
+
+def test_cosine_lsh_shuffles_bands_not_vectors(spark):
+    """The hyperplane band join must shuffle (id, band_idx, band_val)
+    only — the embedding column must never appear in a band-bucket
+    exchange (it re-enters solely through the candidate id joins, where
+    AQE broadcasts the small candidate side at runtime)."""
+    from redeye_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = dedup.cosine_lsh_pairs(df, threshold=0.9)
+    plan = plan_of(pairs)
+    # formatted plans carry partitioning in 'Arguments: hashpartitioning(...)'
+    frags = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    band_frags = [f for f in frags if "band" in f]
+    assert band_frags, plan
+    for f in band_frags:
+        assert "embedding" not in f, f
+    # the self-join's two signature subtrees dedupe at runtime
+    # (ReusedExchange under AQE) — signatures are computed once.

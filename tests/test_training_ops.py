@@ -185,3 +185,54 @@ class TestMultimodal:
         assert (frames["frame_idx"] < 3).all()
         assert frames.groupby("doc_id")["frame_idx"].nunique().le(3).all()
         assert frames["frame_bytes"].map(len).le(32).all()
+
+
+class TestCosineLSH:
+    def test_planted_dups_exact_recall_and_values(self, spark):
+        """200 random vectors + 20 planted near-dups: the LSH pair set at
+        threshold 0.95 must equal the exact numpy pair set, and the
+        in-bucket cosines must match numpy to 1e-6 (they're computed
+        exactly, LSH only prunes candidates)."""
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(200, 32))
+        dups = base[:20] + rng.normal(scale=0.02, size=(20, 32))
+        mat = np.vstack([base, dups])
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        got = dedup.cosine_lsh_pairs(df, threshold=0.95).toPandas()
+        got_pairs = {(r.id_a, r.id_b): r.cosine for r in got.itertuples()}
+
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = nm @ nm.T
+        iu = np.triu_indices(len(mat), 1)
+        exp = {
+            (int(i), int(j)): round(float(sims[i, j]), 6)
+            for i, j in zip(*iu)
+            if round(float(sims[i, j]), 6) >= 0.95
+        }
+        assert set(got_pairs) == set(exp)
+        for k in exp:
+            assert abs(got_pairs[k] - exp[k]) < 2e-6, k
+
+    def test_no_collect_plan(self, spark):
+        """The LSH path is lazy end-to-end: building the pair plan must
+        not trigger any job (the old exact path collected the corpus at
+        plan-build time)."""
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup() or [])
+        rows = [(i, [float(i), 1.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        _ = dedup.cosine_lsh_pairs(df, threshold=0.9)  # no action
+        after = len(tracker.getJobIdsForGroup() or [])
+        assert after == before
+
+    def test_deterministic_across_runs(self, spark):
+        rng = np.random.default_rng(5)
+        mat = rng.normal(size=(50, 16))
+        mat[10] = mat[0] * 1.5
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = sorted(map(tuple, dedup.cosine_lsh_pairs(df, 0.99).select("id_a", "id_b").collect()))
+        b = sorted(map(tuple, dedup.cosine_lsh_pairs(df, 0.99).select("id_a", "id_b").collect()))
+        assert a == b and (0, 10) in a
