@@ -312,11 +312,18 @@ SELECT doc_id, CAST(length(line) AS BIGINT) AS n_bytes, true AS token_ok FROM ex
 
 
 def q_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 JSON-lines sink. No SQL oracle: redeye's JSON key order is
-    HashMap-nondeterministic (README pipes through jq -S), and DuckDB
-    cannot reproduce to_json key order — correctness of the JSON shape
-    is covered field-for-field by tests/test_logparse.py golden cases."""
-    return parse_op.to_logstash_json(_parsed(spark, sf_dir))
+    """S2 JSON-lines sink in CANONICAL (sorted-key, jq -S) form over the
+    COMBINED format, so the driver verifies the full JSON contract:
+    key naming ("@timestamp", "@version", nested request_headers with
+    literal "user-agent"), key omission of '-' fields at every level,
+    number rendering, and string escaping (messages contain quotes).
+    redeye's own HashMap key order is nondeterministic — its README
+    pipes output through `jq -S` to compare, which is exactly this form.
+    The reference-ordered sink itself is parse_op.to_logstash_json
+    (reachable via job.py --json-sink)."""
+    from .functions.logparse import FORMAT_COMBINED
+
+    return parse_op.to_canonical_json(_parsed(spark, sf_dir, fmt=FORMAT_COMBINED))
 
 
 # --- relational coverage over TPC-H-ish tables (SURVEY §2.2) ---
@@ -419,7 +426,6 @@ ORACLES = {
     "route_counts": SQL_ROUTE_COUNTS,
     "agg_counts_hour": SQL_AGG_COUNTS_HOUR,
     "token_roundtrip": SQL_TOKEN_ROUNDTRIP,
-    # json_lines: intentionally no oracle (key-order nondeterminism)
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "nation_revenue": SQL_NATION_REVENUE,
     "last_event_per_user": SQL_LAST_EVENT_PER_USER,
@@ -446,20 +452,33 @@ cbase AS (
   SELECT
     {f['doc_id']} AS doc_id,
     {f['badk_combined']} AS badk,
+    {f['line_combined']} AS line,
     {f['host']} AS e_host,
+    CASE WHEN user_id % 5 = 0 THEN NULL ELSE 'u' || CAST(user_id % 100 AS VARCHAR) END AS e_user,
     {f['iso_fmt']} || {f['off_rfc']} AS e_ts_str,
+    {f['method']} AS e_method,
+    {f['uri']} AS e_uri,
+    {f['proto']} AS e_proto,
     CASE WHEN event_id % 97 = 0 THEN NULL ELSE CAST({_STATUS} AS BIGINT) END AS e_status,
+    CASE WHEN event_id % 13 = 0 THEN NULL
+         ELSE CAST(floor(value * 100) AS BIGINT) % 100000 END AS e_clen,
     CASE WHEN {f['referer']} = '-' THEN NULL ELSE {f['referer']} END AS e_referer,
     CASE WHEN {f['ua']} = '-' THEN NULL ELSE {f['ua']} END AS e_ua
   FROM events
 ),
 cexpected AS (
-  SELECT doc_id,
+  SELECT doc_id, line,
     CASE WHEN badk = 'badts' THEN 'TimestampParseError'
          WHEN badk IN ('garbage', 'badint', 'emptyq') THEN 'ParseError' END AS error_kind,
     CASE WHEN badk = 'ok' THEN e_host END AS remote_host,
+    CASE WHEN badk = 'ok' THEN e_user END AS remote_user,
     CASE WHEN badk = 'ok' THEN e_ts_str END AS timestamp_str,
+    CASE WHEN badk = 'ok' THEN e_method END AS method,
+    CASE WHEN badk = 'ok' THEN e_uri END AS requested_uri,
+    CASE WHEN badk = 'ok' THEN e_proto END AS protocol,
+    CASE WHEN badk = 'ok' THEN e_method || ' ' || e_uri || ' ' || e_proto END AS requested_url,
     CASE WHEN badk = 'ok' THEN e_status END AS status_code,
+    CASE WHEN badk = 'ok' THEN e_clen END AS content_length,
     CASE WHEN badk = 'ok' THEN e_referer END AS referer,
     CASE WHEN badk = 'ok' THEN e_ua END AS user_agent
   FROM cbase
@@ -470,6 +489,34 @@ SQL_PARSE_COMBINED = f"""
 WITH {_oracle_combined_base()}
 SELECT doc_id, remote_host, timestamp_str, status_code, referer, user_agent, error_kind
 FROM cexpected
+"""
+
+
+# Canonical JSON built by hand with sorted keys; concat_ws skips NULL
+# fragments, reproducing to_json's ignoreNullFields at both levels, and
+# DuckDB's to_json() escapes strings identically (JSON standard). Plain
+# concatenation (no f-string) keeps the JSON braces readable.
+SQL_JSON_LINES = "WITH " + _oracle_combined_base() + """
+SELECT doc_id,
+  '{' || concat_ws(',',
+    '"@timestamp":' || to_json(timestamp_str),
+    '"@version":"1"',
+    CASE WHEN content_length IS NOT NULL THEN '"content_length":' || content_length END,
+    '"message":' || to_json(line),
+    '"method":' || to_json(method),
+    '"protocol":' || to_json(protocol),
+    '"remote_host":' || to_json(remote_host),
+    CASE WHEN remote_user IS NOT NULL THEN '"remote_user":' || to_json(remote_user) END,
+    CASE WHEN referer IS NOT NULL OR user_agent IS NOT NULL THEN
+      '"request_headers":{' || concat_ws(',',
+        CASE WHEN referer IS NOT NULL THEN '"referer":' || to_json(referer) END,
+        CASE WHEN user_agent IS NOT NULL THEN '"user-agent":' || to_json(user_agent) END
+      ) || '}' END,
+    '"requested_uri":' || to_json(requested_uri),
+    '"requested_url":' || to_json(requested_url),
+    CASE WHEN status_code IS NOT NULL THEN '"status_code":' || status_code END
+  ) || '}' AS json
+FROM cexpected WHERE error_kind IS NULL
 """
 
 
@@ -750,17 +797,48 @@ FROM documents
 """
 
 
-# Signature-based near-dup ops: deterministic but their hash functions
-# (xxhash64 chains, siphash) have no DuckDB equivalent — driver records
-# the weaker rows-only check for these.
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pair set (ids only — est_jaccard is a hash
+    estimate with no SQL form). The oracle computes the EXACT 5-byte
+    character-shingle Jaccard in DuckDB: the testdata's planted near-dups
+    sit at J >= 0.92 with the next pair at 0.33, so the LSH pair set at
+    threshold 0.5 must equal the exact pair set — a real end-to-end
+    check of shingling, signatures, banding, and estimation."""
     from .operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+
+
+# Exact char-5-shingle Jaccard (the operator's shingle definition: all
+# 5-byte windows; rows shorter than 5 contribute the whole row).
+SQL_MINHASH_PAIRS = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 4, 1)),
+           i -> substr(text, i, 5))) AS grams
+  FROM documents
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+sizes AS (SELECT doc_id, len(grams) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 pairs (rows-only: the hamming cut selects a
+    hash-defined SUBSET of the true near-dups — 21 of 25 at sf0.01 —
+    with no SQL-expressible characterization; banding/hamming semantics
+    are pytest-verified)."""
     from .operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -768,10 +846,35 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints, checked through their GROUP
+    structure: the fingerprint equality classes must equal the
+    normalized-text (lower, whitespace-split) equality classes — which
+    verifies determinism, normalization semantics, and injectivity on
+    the corpus even though DuckDB cannot chain xxhash64 itself."""
+    from pyspark.sql import Window
     from .operators import text as text_op
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text_op.document_fingerprints(docs)
+    fps = text_op.document_fingerprints(docs)
+    w = Window.partitionBy("fp")
+    return fps.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keep_id"),
+        F.count(F.lit(1)).over(w).alias("group_n"),
+    )
+
+
+SQL_DOC_FINGERPRINTS = r"""
+WITH k AS (
+  SELECT doc_id,
+         array_to_string(string_split_regex(trim(lower(text)), '\s+'), chr(31)) AS key
+  FROM documents
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY key) AS keep_id,
+       COUNT(*) OVER (PARTITION BY key) AS group_n
+FROM k
+"""
 
 
 QUERIES.update({
@@ -791,6 +894,7 @@ QUERIES.update({
 })
 
 ORACLES.update({
+    "json_lines": SQL_JSON_LINES,
     "parse_combined": SQL_PARSE_COMBINED,
     "enrich_ua_family": SQL_ENRICH_UA_FAMILY,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -801,7 +905,9 @@ ORACLES.update({
     "ivf_topk": SQL_IVF_TOPK,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "multimodal_meta": SQL_MULTIMODAL_META,
-    # minhash_pairs / simhash_pairs / doc_fingerprints: rows-only
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    # simhash_pairs: rows-only (see q_simhash_pairs docstring)
 })
 
 
@@ -864,13 +970,37 @@ FROM base GROUP BY 1
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing (rows-only: pack boundaries depend on
-    partition-local arrival order; invariants tested in pytest)."""
+    """Greedy sequence packing, checked through its partition-order-free
+    INVARIANTS (pack boundaries legitimately depend on partition-local
+    arrival order, so pack rows themselves can't be oracled):
+      * token conservation — sum(n_tok) minus the one separator per
+        extra doc equals the input token count exactly;
+      * doc conservation — sum(n_docs) equals the input row count;
+      * budget — no multi-doc pack exceeds max_tokens (single oversized
+        docs are allowed through un-truncated by design).
+    All three are DuckDB-expressible over the input (tokens are line
+    bytes), so this runs the real packing operator end to end under a
+    full value-hash check."""
     from .operators import sequences as seq_op
 
     raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir)).coalesce(4)
     packed = seq_op.pack_sequences(raw, max_tokens=2048)
-    return packed.select("pack_id", "n_tok", "n_docs")
+    return packed.agg(
+        F.sum(F.col("n_tok") - (F.col("n_docs") - 1)).cast("long").alias("total_tok_net"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.count(
+            F.when((F.col("n_docs") > 1) & (F.col("n_tok") > 2048), 1)
+        ).alias("oversize_multi"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH {_oracle_base()}
+SELECT CAST(SUM(length(line)) AS BIGINT) AS total_tok_net,
+       CAST(COUNT(*) AS BIGINT) AS total_docs,
+       CAST(0 AS BIGINT) AS oversize_multi
+FROM base
+"""
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,5 +1039,5 @@ ORACLES.update({
     "session_stats": SQL_SESSION_STATS,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
-    # pack_sequences: rows-only (see q_pack_sequences docstring)
+    "pack_sequences": SQL_PACK_SEQUENCES,
 })

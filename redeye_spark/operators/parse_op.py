@@ -115,6 +115,42 @@ def logstash_struct() -> Column:
     )
 
 
+def canonical_json_struct() -> Column:
+    """The same Logstash JSON object with keys in SORTED (asciibetical)
+    order at every nesting level — the jq -S canonical form the reference
+    README itself uses to compare outputs (redeye's HashMap key order is
+    nondeterministic, README.md:55-90 pipes through `jq -S`). to_json
+    emits struct fields in declaration order and drops NULLs at every
+    level, so declaring them sorted IS the canonicalization."""
+    return F.struct(
+        F.col("timestamp_str").alias("@timestamp"),
+        F.col("version").alias("@version"),
+        F.col("content_length"),
+        F.col("ident"),
+        F.col("message"),
+        F.col("method"),
+        F.col("protocol"),
+        F.col("remote_host"),
+        F.col("remote_user"),
+        F.when(
+            F.col("referer").isNotNull() | F.col("user_agent").isNotNull(),
+            F.struct(F.col("referer"), F.col("user_agent").alias("user-agent")),
+        ).alias("request_headers"),
+        F.col("requested_uri"),
+        F.col("requested_url"),
+        F.col("status_code"),
+    )
+
+
+def to_canonical_json(parsed: DataFrame) -> DataFrame:
+    """Canonical (sorted-key) JSON-lines projection of ok rows: the
+    order-insensitive comparison form of the S2 sink, hashable across
+    engines."""
+    return parsed.filter(F.col("error_kind").isNull()).select(
+        F.col("doc_id"), F.to_json(canonical_json_struct()).alias("json")
+    )
+
+
 def to_logstash_json(parsed: DataFrame) -> DataFrame:
     """JSON-lines sink projection (S2, src/bin/redeye.rs:86-87):
     one JSON string per ok row. Key order differs from the reference's
