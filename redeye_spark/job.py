@@ -41,6 +41,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallelism", type=int, default=None, help="explicit repartition width before the parse UDF")
     p.add_argument("--checkpoint-dir", default=None, help="enable chunked checkpoint/resume")
     p.add_argument("--chunks", type=int, default=8, help="checkpoint chunk count")
+    p.add_argument("--chunk-by", default=None,
+                   help="partition column for pushdown-able chunking (default: doc_id hash)")
     p.add_argument("--resume", action="store_true", help="skip chunks already complete in the manifest")
     p.add_argument("--salt-buckets", type=int, default=16)
     p.add_argument("--no-salted-agg", action="store_true")
@@ -78,7 +80,8 @@ def main(argv: list[str] | None = None) -> int:
             io.delete(spark, "events")
             io.delete(spark, "agg_counts")
         manifest = run_checkpointed(
-            spark, raw, io, args.checkpoint_dir, cfg, n_chunks=args.chunks
+            spark, raw, io, args.checkpoint_dir, cfg,
+            n_chunks=args.chunks, chunk_by=args.chunk_by,
         )
         chunks = manifest["chunks"].values()
         stats = {

@@ -246,3 +246,81 @@ class TestIOResolution:
             assert c["partitions"], c
             assert sum(p["rows"] for p in c["partitions"]) == c["rows_in"]
             assert sum(p["err"] for p in c["partitions"]) == c["rows_err"]
+
+
+class TestCheckpointScale:
+    def test_fingerprints_single_pass(self, spark, gen, tmp_path_factory, monkeypatch):
+        """Lineage fingerprints for all chunks must come from ONE groupBy
+        job, not one filtered scan per chunk."""
+        import redeye_spark.plans.checkpoint as ck
+
+        calls = []
+        real = ck.input_fingerprints
+
+        def counting(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ck, "input_fingerprints", counting)
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt_1p"))
+        m = ck.run_checkpointed(spark, raw, ParquetIO(base + "/out"), base + "/ck",
+                                PipelineConfig(fmt=FORMAT_COMBINED), n_chunks=4)
+        assert len(calls) == 1
+        # fingerprints cover every chunk and sum to the input row count
+        assert sum(c["input"]["rows"] for c in m["chunks"].values()) == len(pdf)
+
+    def test_chunk_by_filter_pushes_down(self, spark, gen, tmp_path_factory):
+        """Partition-column chunking must produce an In filter that
+        reaches the parquet scan (PushedFilters) — the 100 TB chunk mode
+        where a chunk reads only its own files."""
+        import re as _re
+
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt_pd"))
+        raw.write.mode("overwrite").parquet(base + "/raw")
+        disk = spark.read.parquet(base + "/raw")
+        from redeye_spark.plans.checkpoint import chunk_values
+
+        values = chunk_values(disk, "source", 3)
+        part = disk.filter(F.col("source").isin(values[0]))
+        plan = part._sc._jvm.PythonSQLUtils.explainString(
+            part._jdf.queryExecution(), "formatted")
+        assert _re.search(r"PushedFilters: \[[^\]]*In\(source", plan), plan
+
+    def test_chunk_by_resume_equivalence(self, spark, gen, tmp_path_factory):
+        """chunk_by mode: killed-and-resumed run produces sinks identical
+        to an uninterrupted hash-chunked run."""
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt_cb"))
+        cfg = PipelineConfig(fmt=FORMAT_COMBINED)
+
+        io_a = ParquetIO(os.path.join(base, "a"))
+        run_checkpointed(spark, raw, io_a, os.path.join(base, "ckpt_a"), cfg, n_chunks=3)
+
+        io_b = ParquetIO(os.path.join(base, "b"))
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_checkpointed(spark, raw, io_b, os.path.join(base, "ckpt_b"), cfg,
+                             n_chunks=3, chunk_by="source", fail_after=1)
+        m = run_checkpointed(spark, raw, io_b, os.path.join(base, "ckpt_b"), cfg,
+                             n_chunks=3, chunk_by="source")
+        assert sum(1 for c in m["chunks"].values() if c["status"] == "complete") == 3
+        assert all(c["chunk_values"] for c in m["chunks"].values())
+
+        key = ["doc_id"]
+        a = io_a.read(spark, "events").select("doc_id", "sink", "status_code") \
+            .toPandas().sort_values(key).reset_index(drop=True)
+        b = io_b.read(spark, "events").select("doc_id", "sink", "status_code") \
+            .toPandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_chunk_mode_mismatch_rejected(self, spark, gen, tmp_path_factory):
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt_mm"))
+        io = ParquetIO(base + "/out")
+        run_checkpointed(spark, raw, io, base + "/ck",
+                         PipelineConfig(fmt=FORMAT_COMBINED), n_chunks=2)
+        with pytest.raises(ValueError, match="chunk_by"):
+            run_checkpointed(spark, raw, io, base + "/ck",
+                             PipelineConfig(fmt=FORMAT_COMBINED), n_chunks=2,
+                             chunk_by="source")
