@@ -47,6 +47,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt-buckets", type=int, default=16)
     p.add_argument("--no-salted-agg", action="store_true")
     p.add_argument("--bucket", default="hour", choices=["minute", "hour", "day"])
+    p.add_argument(
+        "--arrow-batch-rows", type=int, default=None,
+        help="rows per Arrow batch crossing the JVM->Python boundary — the "
+             "analog of redeye's --input-buffer/--output-buffer "
+             "(src/bin/redeye.rs:47-53); default from session.py",
+    )
+    p.add_argument(
+        "--json-sink", action="store_true",
+        help="also write ok rows as JSON lines (the reference's primary "
+             "output mode, src/bin/redeye.rs:86-87) to <output>/events_json",
+    )
     p.add_argument("--master", default=None, help="override master (tests); omit under spark-submit")
     return p
 
@@ -56,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     from redeye_spark.session import get_spark
 
     spark = get_spark("redeye-spark-job", master=args.master)
+    if args.arrow_batch_rows:
+        # runtime SQL conf: applies even when the session already exists
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(args.arrow_batch_rows)
+        )
     cfg = PipelineConfig(
         fmt=FORMAT_COMBINED if args.combined_format else FORMAT_COMMON,
         num_partitions=args.parallelism,
@@ -99,6 +115,19 @@ def main(argv: list[str] | None = None) -> int:
             "sinks": res.sink_rows,
             "wall_sec": round(res.wall_sec, 3),
         }
+
+    if args.json_sink:
+        # The reference's primary output contract: one JSON object per ok
+        # line (src/bin/redeye.rs:86-87). Re-reads the committed events
+        # sink (column-pruned) rather than caching the parse stream.
+        from pyspark.sql import functions as F
+
+        from redeye_spark.operators.parse_op import to_logstash_json
+
+        ok = io.read(spark, "events").filter(F.col("error_kind").isNull())
+        json_path = os.path.join(args.output, "events_json")
+        to_logstash_json(ok).select("json").write.mode("overwrite").text(json_path)
+        stats["json_rows"] = spark.read.text(json_path).count()
 
     if stats["rows_err"]:
         print(f"warning: {stats['rows_err']} lines routed to dead-letter", file=sys.stderr)

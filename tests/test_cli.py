@@ -1,0 +1,66 @@
+"""job.py CLI parity tests: the reference's flag surface
+(--common/--combined exclusivity, buffer sizing, JSON output mode)
+driven in-process through real pipeline runs."""
+
+import json
+import os
+
+import pytest
+
+from redeye_spark import job as job_mod
+from redeye_spark.schema import RAW_SEQUENCES
+from redeye_spark.sources.datagen import gen_frame
+
+
+@pytest.fixture(scope="module")
+def raw_dir(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("cli"))
+    pdf = gen_frame(2000, fmt="combined", seed=11)
+    spark.createDataFrame(pdf.drop(columns=["line"]), schema=RAW_SEQUENCES) \
+        .write.mode("overwrite").parquet(base + "/raw")
+    return base
+
+
+def run_cli(base, *extra):
+    argv = ["--combined-format", "--input", base + "/raw",
+            "--output", base + "/out", "--master", None] + list(extra)
+    argv = [a for a in argv if a is not None]
+    argv.remove("--master")  # reuse the test session (get_spark getOrCreate)
+    rc = job_mod.main(argv)
+    assert rc == 0
+
+
+def test_format_flags_mutually_exclusive():
+    with pytest.raises(SystemExit):
+        job_mod.build_arg_parser().parse_args(["--input", "i", "--output", "o"])
+    with pytest.raises(SystemExit):
+        job_mod.build_arg_parser().parse_args(
+            ["--common-format", "--combined-format", "--input", "i", "--output", "o"])
+
+
+def test_arrow_batch_rows_applies_to_session(spark, raw_dir, capsys):
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        run_cli(raw_dir, "--arrow-batch-rows", "1234")
+        assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "1234"
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows_in"] == 2000
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)
+
+
+def test_json_sink_writes_reference_shaped_lines(spark, raw_dir, capsys):
+    run_cli(raw_dir, "--json-sink")
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    json_dir = os.path.join(raw_dir, "out", "events_json")
+    assert os.path.isdir(json_dir)
+    lines = [r[0] for r in spark.read.text(json_dir).collect()]
+    assert stats["json_rows"] == len(lines) == stats["rows_ok"]
+    for line in lines[:50]:
+        obj = json.loads(line)
+        # reference contract: fixed keys present, '-' fields omitted
+        assert obj["@version"] == "1"
+        assert "@timestamp" in obj and "message" in obj and "remote_host" in obj
+        assert "error_kind" not in obj
+        if "request_headers" in obj:
+            assert set(obj["request_headers"]) <= {"referer", "user-agent"}
