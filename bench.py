@@ -148,15 +148,15 @@ def _spawn_exec(shard: int, cores: str, inp: str, out: str):
     )
 
 
-def run_cluster(n_exec: int, base: str) -> dict:
-    """Run n_exec concurrent pinned executors.
+def run_cluster(n_exec: int, base: str, cores_per_exec: int = CORES_PER_EXECUTOR) -> dict:
+    """Run n_exec concurrent pinned executors of cores_per_exec cores.
 
     Strong scaling over identical input (BASELINE.md protocol): the
     1-executor "cluster" processes the FULL corpus; the 4-executor
     cluster processes the same corpus as 4 disjoint shards."""
     procs = []
     for q in range(n_exec):
-        cores = f"{q * CORES_PER_EXECUTOR}-{(q + 1) * CORES_PER_EXECUTOR - 1}"
+        cores = f"{q * cores_per_exec}-{(q + 1) * cores_per_exec - 1}"
         inp = os.path.join(base, "raw") if n_exec == 1 else os.path.join(base, f"shard{q}")
         out = os.path.join(base, f"exec_out{q}")
         procs.append(_spawn_exec(q, cores, inp, out))
@@ -199,6 +199,18 @@ def main() -> None:
     tput_hi = r_hi["rows_in"] / r_hi["wall_sec"]
     efficiency = (tput_hi / tput_lo) / N_EXECUTORS_HI
 
+    # Second topology: 8-core executors, 1 vs 4 (all 32 cores at the top
+    # size). Reported alongside the 2-core headline so the scaling claim
+    # doesn't rest on the friendliest width; this VM's memory-bandwidth
+    # calibration ceiling for 8->32 busy cores is recorded in
+    # BENCH/BASELINE.md next to the target.
+    WIDE = int(os.environ.get("REDEYE_EXEC_CORES_WIDE", "8"))
+    r_lo8 = best_of(lambda: run_cluster(1, base, cores_per_exec=WIDE), n_runs=1)
+    r_hi8 = best_of(lambda: run_cluster(N_EXECUTORS_HI, base, cores_per_exec=WIDE), n_runs=2)
+    tput_lo8 = r_lo8["rows_in"] / r_lo8["wall_sec"]
+    tput_hi8 = r_hi8["rows_in"] / r_hi8["wall_sec"]
+    efficiency8 = (tput_hi8 / tput_lo8) / N_EXECUTORS_HI
+
     # --- per-query timings on a full-width session ---
     from redeye_spark.session import get_spark
     from redeye_spark import entry_queries as EQ
@@ -212,18 +224,27 @@ def main() -> None:
     spark.stop()
 
     print(json.dumps({
+        # headline value/unit/metric agree: higher is better, corpus-size
+        # independent (ADVICE: wall seconds as `value` inverted semantics)
         "metric": "parsed+routed rows/sec, full pipeline (parse+enrich+route+sinks+agg), "
                   "%d executors x %d cores, sf%s corpus %d rows"
                   % (N_EXECUTORS_HI, CORES_PER_EXECUTOR, sf, n),
-        "value": round(r_hi["wall_sec"], 3),
-        "unit": "sec",
+        "value": round(tput_hi, 1),
+        "unit": "rows/sec",
         "queries": queries,
         "sf": float(sf),
         "corpus_rows": n,
+        "wall_sec_%dexec" % N_EXECUTORS_HI: round(r_hi["wall_sec"], 3),
         "rows_per_sec_1exec": round(tput_lo, 1),
         "rows_per_sec_%dexec" % N_EXECUTORS_HI: round(tput_hi, 1),
         "cores_per_executor": CORES_PER_EXECUTOR,
         "scaling_efficiency_N_to_4N": round(efficiency, 3),
+        "scaling_8core": {
+            "cores_per_executor": WIDE,
+            "rows_per_sec_1exec": round(tput_lo8, 1),
+            "rows_per_sec_%dexec" % N_EXECUTORS_HI: round(tput_hi8, 1),
+            "scaling_efficiency_N_to_4N": round(efficiency8, 3),
+        },
         "rows_err": r_hi["rows_err"],
     }))
 
