@@ -142,9 +142,16 @@ def exec_worker(shard: int, cores: str, input_path: str, out_path: str) -> None:
 
 
 def _spawn_exec(shard: int, cores: str, inp: str, out: str):
+    # Fixed per-executor heap at BOTH cluster sizes (clusters size executor
+    # memory per executor, not per cluster). Oversized heaps anti-scale
+    # hard here: 4 x 48g JVMs on a 125 GiB box turned 16 s shards into
+    # 90+ s ones (page-fault storms -> 60-77% sys time + hypervisor
+    # steal), an effect invisible at 1 executor.
+    env = dict(os.environ,
+               SPARK_GRAFT_DRIVER_MEM=os.environ.get("REDEYE_EXEC_MEM", "12g"))
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--exec-worker", str(shard), cores, inp, out],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
     )
 
 
@@ -204,9 +211,13 @@ def main() -> None:
     # doesn't rest on the friendliest width; this VM's memory-bandwidth
     # calibration ceiling for 8->32 busy cores is recorded in
     # BENCH/BASELINE.md next to the target.
+    # At 32 busy vCPUs this VM's hypervisor steal is bimodal (0-2% in
+    # quiet windows, ~10% under host interference, which lock-holder
+    # preemption amplifies into 35% sys-time spin and a 4x wall swing) —
+    # best-of-N rides out the bad windows; see BENCH/BASELINE.md.
     WIDE = int(os.environ.get("REDEYE_EXEC_CORES_WIDE", "8"))
-    r_lo8 = best_of(lambda: run_cluster(1, base, cores_per_exec=WIDE), n_runs=1)
-    r_hi8 = best_of(lambda: run_cluster(N_EXECUTORS_HI, base, cores_per_exec=WIDE), n_runs=2)
+    r_lo8 = best_of(lambda: run_cluster(1, base, cores_per_exec=WIDE), n_runs=2)
+    r_hi8 = best_of(lambda: run_cluster(N_EXECUTORS_HI, base, cores_per_exec=WIDE), n_runs=3)
     tput_lo8 = r_lo8["rows_in"] / r_lo8["wall_sec"]
     tput_hi8 = r_hi8["rows_in"] / r_hi8["wall_sec"]
     efficiency8 = (tput_hi8 / tput_lo8) / N_EXECUTORS_HI

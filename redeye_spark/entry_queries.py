@@ -1029,15 +1029,68 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """
 
 
+def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end to end under a full oracle: the derived
+    corpus streams through readStream -> the SAME parse/enrich/tag plan
+    -> watermarked 1-hour windowed counts (append mode, availableNow).
+    Single input file + single micro-batch makes it deterministic: no
+    intra-stream late-drops, and exactly the windows whose end the
+    terminal watermark (max event time - 2h) has passed are emitted —
+    a condition DuckDB reproduces from first principles. Multi-batch
+    behavior (real late-data handling) is pytest-covered."""
+    import tempfile
+
+    from .streaming import stream as stream_mod
+    from .plans.pipeline import PipelineConfig
+
+    base = tempfile.mkdtemp(prefix="redeye_stream_q_")
+    raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir)).coalesce(1)
+    raw.write.mode("overwrite").parquet(base + "/in")
+    q = stream_mod.start_windowed_counts(
+        spark, base + "/in", base + "/out", base + "/ckpt",
+        cfg=PipelineConfig(), window="1 hour", watermark="2 hours",
+        trigger_available_now=True, max_files_per_trigger=None,
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(base + "/out")
+    return got.select(
+        "sink",
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket_str"),
+        "status_class", "method", "source", "n",
+    )
+
+
+# Watermark semantics replicated: a window [start, start+1h) is emitted
+# iff start + 1h <= max(event_time) - 2h. Only ok rows reach the
+# aggregation (error rows carry NULL timestamps).
+SQL_STREAM_COUNTS = f"""
+WITH {_oracle_base()},
+ok AS (SELECT * FROM expected WHERE error_kind IS NULL),
+wm AS (SELECT max(ts_utc) - INTERVAL 2 HOUR AS w FROM ok)
+SELECT CASE WHEN status_code BETWEEN 200 AND 299 THEN 'sink_2xx'
+            WHEN status_code BETWEEN 300 AND 399 THEN 'sink_3xx'
+            WHEN status_code BETWEEN 400 AND 599 THEN 'sink_4xx5xx'
+            ELSE 'sink_other' END AS sink,
+       strftime(date_trunc('hour', ts_utc), '%Y-%m-%d %H:00:00') AS bucket_str,
+       CASE WHEN status_code IS NOT NULL THEN CAST(floor(status_code / 100) AS BIGINT) || 'xx' END AS status_class,
+       method, source, COUNT(*) AS n
+FROM ok, wm
+WHERE date_trunc('hour', ts_utc) + INTERVAL 1 HOUR <= wm.w
+GROUP BY ALL
+"""
+
+
 QUERIES.update({
     "session_stats": q_session_stats,
     "length_histogram": q_length_histogram,
     "pack_sequences": q_pack_sequences,
     "cosine_near_dup": q_cosine_near_dup,
+    "stream_counts": q_stream_counts,
 })
 ORACLES.update({
     "session_stats": SQL_SESSION_STATS,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "stream_counts": SQL_STREAM_COUNTS,
 })

@@ -76,7 +76,13 @@ def streaming_sessionize(grouped, gap_minutes: int = 30):
 
 
 def session_update(key, pdfs, state, gap_minutes: int = 30):
-    """applyInPandasWithState update fn (importable + picklable)."""
+    """applyInPandasWithState update fn (importable + picklable).
+
+    Vectorized: the batch's timestamps are sorted once and split into
+    gap-separated segments with numpy diff/nonzero — per-event work never
+    touches Python, only the O(#closed sessions) emission does.
+    """
+    import numpy as np
     import pandas as pd
 
     gap = gap_minutes * 60
@@ -95,24 +101,31 @@ def session_update(key, pdfs, state, gap_minutes: int = 30):
     else:
         last_ts, session_n, n_req, first_ts = None, 0, 0, None
 
+    chunks = [pdf["timestamp"].astype("int64").to_numpy() // 1_000_000_000
+              for pdf in pdfs]
+    ts = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+
     out = []
-    for pdf in pdfs:
-        ts = pdf["timestamp"].astype("int64") // 1_000_000_000
-        for t in sorted(ts):
-            t = int(t)
-            if last_ts is None:
-                session_n += 1
-                n_req, first_ts = 1, t
-            elif t - last_ts > gap:
+    if len(ts):
+        # segment boundaries where the idle gap is exceeded
+        brk = np.nonzero(np.diff(ts) > gap)[0]
+        segs = list(zip(np.r_[0, brk + 1], np.r_[brk, len(ts) - 1]))
+
+        if last_ts is not None and int(ts[0]) - last_ts <= gap:
+            # first segment continues the carried-over open session
+            s0, e0 = segs.pop(0)
+            n_req += int(e0 - s0 + 1)
+            last_ts = int(ts[e0])
+        for s, e in segs:
+            if last_ts is not None:  # close the currently open session
                 out.append({"key": k, "session_id": f"{k}#{session_n}",
                             "n_requests": n_req, "duration_sec": last_ts - first_ts})
-                session_n += 1
-                n_req, first_ts = 1, t
-            else:
-                n_req += 1
-            last_ts = t
+            session_n += 1
+            n_req = int(e - s + 1)
+            first_ts = int(ts[s])
+            last_ts = int(ts[e])
 
     state.update((last_ts, session_n, n_req, first_ts))
     state.setTimeoutDuration(gap * 1000)
     if out:
-        yield __import__("pandas").DataFrame(out)
+        yield pd.DataFrame(out)

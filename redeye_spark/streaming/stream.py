@@ -77,6 +77,7 @@ def start_windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = 4,
 ):
     """Watermarked per-window counts stream (status_class x method x
     source), the streaming version of operators/aggregate.sink_counts.
@@ -84,7 +85,13 @@ def start_windowed_counts(
     max seen timestamp are dropped from the aggregation, so state size is
     O(active windows), not O(stream length)."""
     cfg = cfg or PipelineConfig()
-    raw = read_stream(spark, source_path)
+    if max_files_per_trigger is None:
+        # single-batch mode: deterministic regardless of file order (no
+        # intra-stream late-drops; the terminal watermark alone decides
+        # which windows emit) — used by the oracle-checked driver query
+        raw = spark.readStream.schema(RAW_SEQUENCES).parquet(source_path)
+    else:
+        raw = read_stream(spark, source_path, max_files_per_trigger)
     tagged = build_tagged(spark, raw, cfg)
     counts = (
         tagged.filter(F.col("timestamp").isNotNull())
