@@ -127,7 +127,10 @@ def exec_worker(shard: int, cores: str, input_path: str, out_path: str) -> None:
     # worker, codegen, and the committer — constants a 10^12-row run
     # amortizes to nothing.
     files = sorted(f for f in os.listdir(input_path) if f.endswith(".parquet"))
-    warm = spark.read.parquet(*[os.path.join(input_path, f) for f in files[: 2 * n]])
+    # one wave per task slot primes workers/codegen/committer; capped at
+    # half the input so wide executors don't re-process the whole shard
+    n_warm = min(n, max(2, len(files) // 2))
+    warm = spark.read.parquet(*[os.path.join(input_path, f) for f in files[:n_warm]])
     run_pipeline(spark, warm, ParquetIO(out_path + "_warm"), cfg)
     shutil.rmtree(out_path + "_warm", ignore_errors=True)
 
@@ -216,8 +219,8 @@ def main() -> None:
     # preemption amplifies into 35% sys-time spin and a 4x wall swing) —
     # best-of-N rides out the bad windows; see BENCH/BASELINE.md.
     WIDE = int(os.environ.get("REDEYE_EXEC_CORES_WIDE", "8"))
-    r_lo8 = best_of(lambda: run_cluster(1, base, cores_per_exec=WIDE), n_runs=2)
-    r_hi8 = best_of(lambda: run_cluster(N_EXECUTORS_HI, base, cores_per_exec=WIDE), n_runs=3)
+    r_lo8 = best_of(lambda: run_cluster(1, base, cores_per_exec=WIDE), n_runs=1)
+    r_hi8 = best_of(lambda: run_cluster(N_EXECUTORS_HI, base, cores_per_exec=WIDE), n_runs=2)
     tput_lo8 = r_lo8["rows_in"] / r_lo8["wall_sec"]
     tput_hi8 = r_hi8["rows_in"] / r_hi8["wall_sec"]
     efficiency8 = (tput_hi8 / tput_lo8) / N_EXECUTORS_HI

@@ -834,6 +834,67 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup story: apply the MinHash-LSH pair set to the
+    corpus with the keep-lowest-id policy and return the surviving ids.
+    Oracle: ids not appearing as id_b in the exact-Jaccard pair set."""
+    from .operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.drop_near_duplicates(docs, pairs).select("doc_id")
+
+
+SQL_DEDUP_FILTER = SQL_MINHASH_PAIRS.replace(
+    ")\nSELECT id_a, id_b FROM inter",
+    "),\npair_set AS (\nSELECT id_a, id_b FROM inter",
+).rstrip() + """
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pair_set)
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation quality score (monotone blend of the rounded
+    metrics) — the formula is replicated verbatim in SQL, so the driver
+    hash-checks the full scoring path, not just the raw metrics."""
+    from .operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_op.quality_score(docs).select("doc_id", "quality")
+
+
+SQL_QUALITY_SCORE = r"""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
+    CASE WHEN length(text) > 0
+         THEN round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text), 4)
+         ELSE NULL END AS punct_ratio,
+    CASE WHEN len(ws) > 0 AND length(trim(text)) > 0
+         THEN round(len(list_intersect(list_transform(string_split_regex(trim(lower(text)), '\s+'), x -> trim(x)),
+              ['the','and','of','to','in','is','that','for','with','was'])) * 1.0 / len(ws), 4)
+         ELSE NULL END AS stopword_ratio,
+    CASE WHEN len(ws) > 0 AND length(trim(text)) > 0
+         THEN round((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 4)
+         ELSE NULL END AS dup_word_ratio
+  FROM w
+)
+SELECT doc_id,
+  round(
+    least(n_words / 20.0, 1.0) * 0.4
+    + (1 - least(coalesce(punct_ratio, 0.0) * 4, 1.0)) * 0.2
+    + least(coalesce(stopword_ratio, 0.0) * 5, 1.0) * 0.2
+    + (1 - least(coalesce(dup_word_ratio, 0.0) * 2, 1.0)) * 0.2,
+  4) AS quality
+FROM m
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming<=3 pairs (rows-only: the hamming cut selects a
     hash-defined SUBSET of the true near-dups — 21 of 25 at sf0.01 —
@@ -891,6 +952,8 @@ QUERIES.update({
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "doc_fingerprints": q_doc_fingerprints,
+    "dedup_filter": q_dedup_filter,
+    "quality_score": q_quality_score,
 })
 
 ORACLES.update({
@@ -907,6 +970,8 @@ ORACLES.update({
     "multimodal_meta": SQL_MULTIMODAL_META,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "dedup_filter": SQL_DEDUP_FILTER,
+    "quality_score": SQL_QUALITY_SCORE,
     # simhash_pairs: rows-only (see q_simhash_pairs docstring)
 })
 

@@ -364,6 +364,24 @@ def cosine_lsh_pairs(
     )
 
 
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply a near-dup pair set to the corpus: keep-lowest-id policy —
+    any row whose id appears as id_b in a pair (pair ops guarantee
+    id_a < id_b) is dropped. One distinct + left_anti join; the drop
+    list is tiny relative to the corpus (near-dup fraction), so AQE
+    broadcasts it and the corpus scan stays shuffle-free.
+
+    At high thresholds near-dup clusters are cliques, so every member
+    except the minimum id pairs with it and whole clusters collapse to
+    one survivor; for chain-shaped (non-transitive) pair sets this keeps
+    strictly more than one representative per chain — the standard
+    cheap policy vs. full connected components."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
