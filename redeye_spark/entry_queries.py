@@ -385,6 +385,71 @@ GROUP BY n_name
 """
 
 
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort/limit top-k: orderBy+limit plans as
+    TakeOrderedAndProject — per-partition local top-k then a driver-side
+    merge of n_partitions*k rows, the only scale-correct global top-k
+    (never a full sort). Deterministic tie-break on the unique key."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join over the supplier + nation dims with a HAVING-style
+    post-aggregation filter (exercises the remaining TPC-H-ish tables)."""
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .filter(F.col("n_suppliers") >= 1)
+    )
+
+
+SQL_SUPPLIER_BALANCE = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name HAVING COUNT(*) >= 1
+"""
+
+
+def q_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-level aggregate with a pushed filter over the part table."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        part.filter(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       round(AVG(p_retailprice), 2) AS avg_price,
+       MAX(p_size) AS max_size
+FROM part WHERE p_size >= 10 GROUP BY p_brand
+"""
+
+
 def q_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: latest event per user (deterministic tie-break)."""
     from pyspark.sql.window import Window
@@ -416,6 +481,9 @@ QUERIES = {
     "json_lines": q_json_lines,
     "lineitem_pricing": q_lineitem_pricing,
     "nation_revenue": q_nation_revenue,
+    "top_orders": q_top_orders,
+    "supplier_balance": q_supplier_balance,
+    "parts_by_brand": q_parts_by_brand,
     "last_event_per_user": q_last_event_per_user,
 }
 
@@ -428,6 +496,9 @@ ORACLES = {
     "token_roundtrip": SQL_TOKEN_ROUNDTRIP,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "nation_revenue": SQL_NATION_REVENUE,
+    "top_orders": SQL_TOP_ORDERS,
+    "supplier_balance": SQL_SUPPLIER_BALANCE,
+    "parts_by_brand": SQL_PARTS_BY_BRAND,
     "last_event_per_user": SQL_LAST_EVENT_PER_USER,
 }
 

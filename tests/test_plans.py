@@ -137,3 +137,32 @@ def test_cosine_lsh_shuffles_bands_not_vectors(spark):
         assert "embedding" not in f, f
     # the self-join's two signature subtrees dedupe at runtime
     # (ReusedExchange under AQE) — signatures are computed once.
+
+
+def test_top_orders_is_take_ordered_not_full_sort(spark):
+    """Global sort+limit must plan as TakeOrderedAndProject (local top-k
+    per partition + tiny driver merge), never a full global Sort."""
+    from redeye_spark import entry_queries as EQ
+
+    df = EQ.q_top_orders(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_dedup_filter_anti_join_broadcasts_drop_list(spark):
+    """The near-dup drop list is tiny vs. the corpus: at runtime AQE must
+    broadcast it so the corpus scan side never shuffles."""
+    from pyspark.sql import functions as F
+    from redeye_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, ("dup " * 30) if i < 10 else f"unique text number {i} " * 10)
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    kept = dedup.drop_near_duplicates(docs, pairs)
+    kept.collect()
+    executed = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed and "LeftAnti" in executed, executed
