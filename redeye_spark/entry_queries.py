@@ -905,6 +905,37 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out (doc -> up to 8 fixed-size
+    frames), the explode-shaped operator real video decode plugs into.
+    The corpus text is pure ASCII, so byte frames decode back to strings
+    and the oracle re-derives them with substr arithmetic."""
+    from .operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("video").alias("media_type"),
+        F.encode(F.substring(F.col("text"), 1, 64), "utf-8").alias("payload"),
+    )
+    frames = multimodal.sample_frames(media, every_n_bytes=16, max_frames=8)
+    return frames.select(
+        "doc_id", "frame_idx", F.decode("frame_bytes", "utf-8").alias("frame_str")
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, substr(text, 1, 64) AS payload
+  FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS frame_idx,
+       substr(payload, (i - 1) * 16 + 1, 16) AS frame_str
+FROM m, UNNEST(generate_series(1,
+       least(8, greatest(1, CAST(floor(length(payload) / 16) AS INT))))) AS t(i)
+"""
+
+
 def q_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end of the dedup story: apply the MinHash-LSH pair set to the
     corpus with the keep-lowest-id policy and return the surviving ids.
@@ -1025,6 +1056,7 @@ QUERIES.update({
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_filter": q_dedup_filter,
     "quality_score": q_quality_score,
+    "frame_sample": q_frame_sample,
 })
 
 ORACLES.update({
@@ -1043,6 +1075,7 @@ ORACLES.update({
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "dedup_filter": SQL_DEDUP_FILTER,
     "quality_score": SQL_QUALITY_SCORE,
+    "frame_sample": SQL_FRAME_SAMPLE,
     # simhash_pairs: rows-only (see q_simhash_pairs docstring)
 })
 
