@@ -63,7 +63,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    p = build_arg_parser()
+    args = p.parse_args(argv)
+    if args.chunk_by and not args.checkpoint_dir:
+        p.error("--chunk-by requires --checkpoint-dir (chunking is the checkpoint unit)")
     from redeye_spark.session import get_spark
 
     spark = get_spark("redeye-spark-job", master=args.master)
@@ -123,11 +126,20 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from redeye_spark.operators.parse_op import to_logstash_json
+        from redeye_spark.sources.io import ParquetIO
 
         ok = io.read(spark, "events").filter(F.col("error_kind").isNull())
-        json_path = os.path.join(args.output, "events_json")
-        to_logstash_json(ok).select("json").write.mode("overwrite").text(json_path)
-        stats["json_rows"] = spark.read.text(json_path).count()
+        json_df = to_logstash_json(ok).select("json")
+        if isinstance(io, ParquetIO):
+            # filesystem backend: literal JSON-lines text files
+            json_path = io.location("events_json")
+            json_df.write.mode("overwrite").text(json_path)
+            stats["json_rows"] = spark.read.text(json_path).count()
+        else:
+            # catalog backend: args.output is a namespace, not a path —
+            # land the JSON lines as a single-column catalog table
+            io.write(json_df, "events_json")
+            stats["json_rows"] = io.read(spark, "events_json").count()
 
     if stats["rows_err"]:
         print(f"warning: {stats['rows_err']} lines routed to dead-letter", file=sys.stderr)

@@ -9,8 +9,11 @@ generation shuffles only (id, band_hash) pairs — never raw text.
 Scale notes (100 TB): signatures are ~0.5 KB/row vs multi-KB documents,
 so the LSH shuffle moves ~1% of input bytes; band-bucket join skew (a
 degenerate bucket holding half the corpus, e.g. empty documents) is
-bounded by `max_bucket` which drops pathological buckets with a logged
-count, the standard guardrail.
+bounded by `max_bucket`, which drops pathological buckets — the standard
+guardrail for minhash, whose band values are hash-sized so ordinary
+buckets stay small at any corpus size. Hyperplane band values have fixed
+cardinality 2^bits, so there the knob is bits_per_band, not a cap (see
+cosine_lsh_pairs).
 """
 
 from __future__ import annotations
@@ -312,29 +315,40 @@ def cosine_lsh_pairs(
     bits_per_band: int = 8,
     bands: int = 16,
     seed: int = 42,
-    max_bucket: int = 2000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine) at
     scale: random-hyperplane signatures -> band-bucket self-join (same
     machinery as the simhash band trick) -> EXACT cosine recomputed
     JVM-side (zip_with/aggregate, whole-stage codegen) for candidates
-    only, thresholded.
+    only, thresholded on the raw value (rounded only for output).
 
     Fully distributed: no driver-side collect anywhere; only
     (id, band_idx, band_val) rows cross the candidate shuffle, and the
     two vector lookups are scans joined on id. Recall per pair at
     cosine c is 1-(1-p^r)^b with p = 1 - acos(c)/pi: the r=8, b=16
     default gives ~0.9999 at c=0.95; for lower thresholds use narrower,
-    more numerous bands (e.g. r=4, b=64 covers c~0.45). max_bucket drops
-    degenerate buckets (e.g. all-zero vectors), the standard skew cap.
+    more numerous bands (e.g. r=4, b=64 covers c~0.45).
+
+    SIZING RULE (unlike minhash, band values here have FIXED cardinality
+    2^r, so expected bucket size is n/2^r and grows with the corpus):
+    pick bits_per_band >= log2(n_rows / target_bucket_rows) — e.g. 10^9
+    rows with ~1k-row buckets needs r >= 20 (int64 band values support
+    up to 62 bits). max_bucket is therefore None by default: a cap with
+    undersized r would silently drop EVERY bucket at scale and return no
+    pairs. Set it only to shed known-degenerate keys (e.g. all-zero
+    vectors concentrating in one bucket) once r is sized to the corpus.
     """
     banded = hyperplane_bands(df, id_col, vec_col, bits_per_band, bands, seed)
-    bucket_sizes = banded.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("bs"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bs") <= max_bucket).drop("bs"),
-        on=["band_idx", "band_val"],
-        how="inner",
-    )
+    if max_bucket is not None:
+        bucket_sizes = banded.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("bs")
+        )
+        banded = banded.join(
+            bucket_sizes.filter(F.col("bs") <= max_bucket).drop("bs"),
+            on=["band_idx", "band_val"],
+            how="inner",
+        )
     l = banded.select("band_idx", "band_val", F.col(id_col).alias("id_a"))
     r = banded.select("band_idx", "band_val", F.col(id_col).alias("id_b"))
     cand = (
@@ -358,9 +372,8 @@ def cosine_lsh_pairs(
         dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
     )
     return (
-        pairs.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        pairs.filter(cos >= threshold)  # raw value decides membership
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
 
 

@@ -132,8 +132,10 @@ def fit_centroids(
     """Seeded mini k-means on an unbiased driver-side sample (Lloyd
     iterations in numpy). The sample is a seeded df.sample() — NOT a
     limit(), which takes first-rows in scan order and biases centroids
-    toward whatever files happen to sort first. At 100 TB the sample is
-    a bounded-size sketch; fitting never touches the full data."""
+    toward whatever files happen to sort first. Cost at scale: one
+    column-free count() (reads no data columns on columnar sources —
+    split enumeration + footers) to size the fraction, plus the sample
+    scan; only ~sample_rows vectors ever reach the driver."""
     n = corpus.count()
     frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
     sample_df = corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)

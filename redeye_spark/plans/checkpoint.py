@@ -65,9 +65,22 @@ def _save_manifest(checkpoint_dir: str, manifest: dict) -> None:
 
 def chunk_values(raw: DataFrame, chunk_by: str, n_chunks: int) -> dict[int, list]:
     """Round-robin assignment of the partition column's distinct values
-    to chunks (one distinct pass; values sorted for determinism)."""
-    vals = sorted(r[0] for r in raw.select(chunk_by).distinct().collect())
+    to chunks (one distinct pass; values sorted for determinism). A NULL
+    partition value is a real value: it sorts first and its chunk's
+    predicate adds isNull() (isin never matches NULL)."""
+    vals = sorted(
+        (r[0] for r in raw.select(chunk_by).distinct().collect()),
+        key=lambda v: (v is not None, v),
+    )
     return {c: vals[c::n_chunks] for c in range(n_chunks)}
+
+
+def _chunk_predicate(chunk_by: str, vals: list) -> Column:
+    non_null = [v for v in vals if v is not None]
+    pred = F.col(chunk_by).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in vals):
+        pred = pred | F.col(chunk_by).isNull()
+    return pred
 
 
 def input_fingerprints(
@@ -93,6 +106,12 @@ def input_fingerprints(
         val_to_chunk = {v: c for c, vs in (values or {}).items() for v in vs}
         out = {c: {"rows": 0, "hash_sum": 0} for c in range(n_chunks)}
         for r in rows:
+            if r["ck"] not in val_to_chunk:
+                raise ValueError(
+                    f"input has {chunk_by}={r['ck']!r} which is not in the "
+                    "run's chunk assignment — the input changed under a "
+                    "resume; start a fresh run (no chunk covers it)"
+                )
             c = val_to_chunk[r["ck"]]
             out[c]["rows"] += r["rows"]
             out[c]["hash_sum"] ^= r["hash_sum"]
@@ -124,8 +143,15 @@ def run_checkpointed(
     """
     cfg = cfg or PipelineConfig()
     manifest = load_manifest(checkpoint_dir)
-    manifest.setdefault("n_chunks", n_chunks)
-    manifest.setdefault("chunk_by", chunk_by)
+    if not manifest["chunks"]:
+        manifest["n_chunks"] = n_chunks
+        manifest["chunk_by"] = chunk_by
+    else:
+        # manifests from before chunk_by existed were hash-chunked: treat
+        # a missing key as None so the mismatch check can't be satisfied
+        # by accident (resuming a hash-chunked run in chunk_by mode would
+        # double- and under-write rows silently)
+        manifest.setdefault("chunk_by", None)
     if manifest["n_chunks"] != n_chunks:
         raise ValueError(
             f"resume with n_chunks={n_chunks} but manifest has {manifest['n_chunks']}"
@@ -135,7 +161,19 @@ def run_checkpointed(
             f"resume with chunk_by={chunk_by!r} but manifest has {manifest['chunk_by']!r}"
         )
 
-    values = chunk_values(raw, chunk_by, n_chunks) if chunk_by else None
+    if chunk_by:
+        # The value->chunk assignment is part of the run's identity: it is
+        # computed ONCE and persisted, and a resume reuses it verbatim —
+        # recomputing from the current input would shift the round-robin
+        # assignment of every value if any new distinct value appeared,
+        # silently double-/under-covering rows vs the completed chunks.
+        if manifest.get("chunk_assignment"):
+            values = {int(k): v for k, v in manifest["chunk_assignment"].items()}
+        else:
+            values = chunk_values(raw, chunk_by, n_chunks)
+            manifest["chunk_assignment"] = values
+    else:
+        values = None
     pending = [
         c for c in range(n_chunks)
         if (manifest["chunks"].get(str(c)) or {}).get("status") != "complete"
@@ -151,7 +189,7 @@ def run_checkpointed(
 
         t0 = time.monotonic()
         if chunk_by:
-            pred = F.col(chunk_by).isin(values[chunk])  # pushdown-able In
+            pred = _chunk_predicate(chunk_by, values[chunk])  # pushdown-able In
         else:
             pred = chunk_column(n_chunks) == chunk
         part = raw.filter(pred)

@@ -64,3 +64,9 @@ def test_json_sink_writes_reference_shaped_lines(spark, raw_dir, capsys):
         assert "error_kind" not in obj
         if "request_headers" in obj:
             assert set(obj["request_headers"]) <= {"referer", "user-agent"}
+
+
+def test_chunk_by_requires_checkpoint_dir(capsys):
+    with pytest.raises(SystemExit):
+        job_mod.main(["--combined-format", "--input", "i", "--output", "o",
+                      "--chunk-by", "source"])

@@ -324,3 +324,74 @@ class TestCheckpointScale:
             run_checkpointed(spark, raw, io, base + "/ck",
                              PipelineConfig(fmt=FORMAT_COMBINED), n_chunks=2,
                              chunk_by="source")
+
+    def test_chunk_by_resume_reuses_assignment_and_rejects_new_values(
+            self, spark, gen, tmp_path_factory):
+        """The value->chunk assignment is persisted at first run; a
+        resume reuses it verbatim, and input rows with values outside the
+        assignment fail LOUDLY instead of being silently uncovered."""
+        import redeye_spark.plans.checkpoint as ck
+
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt_asg"))
+        io = ParquetIO(base + "/out")
+        cfg = PipelineConfig(fmt=FORMAT_COMBINED)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_checkpointed(spark, raw, io, base + "/ck", cfg,
+                             n_chunks=3, chunk_by="source", fail_after=1)
+        m = ck.load_manifest(base + "/ck")
+        assert m.get("chunk_assignment")
+        # resumed input sprouts a new source value -> loud error
+        mutated = raw.withColumn(
+            "source",
+            F.when(F.col("doc_id").startswith("doc-1"), F.lit("brand-new-src"))
+            .otherwise(F.col("source")),
+        )
+        with pytest.raises(ValueError, match="chunk assignment"):
+            run_checkpointed(spark, mutated, io, base + "/ck", cfg,
+                             n_chunks=3, chunk_by="source")
+        # unchanged input resumes fine using the stored assignment
+        m2 = run_checkpointed(spark, raw, io, base + "/ck", cfg,
+                              n_chunks=3, chunk_by="source")
+        assert sum(1 for c in m2["chunks"].values() if c["status"] == "complete") == 3
+
+    def test_legacy_manifest_without_chunk_by_is_hash_mode(
+            self, spark, gen, tmp_path_factory):
+        """Pre-chunk_by manifests must be treated as hash-chunked: a
+        chunk_by resume against one is rejected, not silently accepted."""
+        import json as _json
+        import redeye_spark.plans.checkpoint as ck
+
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt_leg"))
+        io = ParquetIO(base + "/out")
+        cfg = PipelineConfig(fmt=FORMAT_COMBINED)
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_checkpointed(spark, raw, io, base + "/ck", cfg,
+                             n_chunks=2, fail_after=1)
+        mp = os.path.join(base, "ck", "manifest.json")
+        m = _json.load(open(mp))
+        m.pop("chunk_by", None)  # simulate a round-1 manifest
+        _json.dump(m, open(mp, "w"))
+        with pytest.raises(ValueError, match="chunk_by"):
+            run_checkpointed(spark, raw, io, base + "/ck", cfg,
+                             n_chunks=2, chunk_by="source")
+
+    def test_chunk_by_null_values_are_covered(self, spark):
+        """A NULL partition value is assigned to a chunk and its chunk's
+        predicate matches it (isin alone never matches NULL) — every row
+        is covered by exactly one chunk. (The pipeline's own `source`
+        column is non-nullable by the input contract; this covers
+        chunk_by over general nullable partition columns.)"""
+        from redeye_spark.plans.checkpoint import chunk_values, _chunk_predicate
+
+        df = spark.createDataFrame(
+            [(i, None if i % 7 == 0 else f"s{i % 5}") for i in range(200)],
+            "doc_id long, part string",
+        )
+        values = chunk_values(df, "part", 3)
+        assert any(None in vs for vs in values.values())
+        covered = 0
+        for c, vs in values.items():
+            covered += df.filter(_chunk_predicate("part", vs)).count()
+        assert covered == 200
