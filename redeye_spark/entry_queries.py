@@ -637,6 +637,17 @@ FROM documents GROUP BY text
 """
 
 
+def q_dedup_exact_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB exact-dedup path: group by (xxhash64(text), length)
+    so the shuffle carries ~16 bytes/row instead of documents. The
+    output contract is identical, so the SAME by-text SQL oracle
+    verifies it — including the absence of hash collisions."""
+    from .operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs, by_hash=True)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text as text_op
 
@@ -1044,6 +1055,7 @@ QUERIES.update({
     "parse_combined": q_parse_combined,
     "enrich_ua_family": q_enrich_ua_family,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_hashed": q_dedup_exact_hashed,
     "text_quality": q_text_quality,
     "subword_tokens": q_subword_tokens,
     "lang_id": q_lang_id,
@@ -1064,6 +1076,7 @@ ORACLES.update({
     "parse_combined": SQL_PARSE_COMBINED,
     "enrich_ua_family": SQL_ENRICH_UA_FAMILY,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_exact_hashed": SQL_DEDUP_EXACT,
     "text_quality": SQL_TEXT_QUALITY,
     "subword_tokens": SQL_SUBWORD_TOKENS,
     "lang_id": SQL_LANG_ID,

@@ -28,11 +28,24 @@ from pyspark.sql import types as T
 _MERSENNE = (1 << 61) - 1
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", by_hash: bool = False
+) -> DataFrame:
     """Exact duplicate groups: one row per distinct text with the kept
-    (minimum) id and the duplicate count. Group key is the raw text —
-    at 100 TB group instead by (xxhash64(text), length(text)) so the
-    shuffle carries 16 bytes/row; collision probability ~n^2/2^64."""
+    (minimum) id and the duplicate count.
+
+    by_hash=True is the 100 TB path: group by (xxhash64(text),
+    length(text)) so the shuffle carries ~16 bytes/row instead of the
+    full documents; collision probability ~n^2/2^65 (two texts must
+    collide in BOTH hash and length). Output contract is identical, so
+    the same oracle checks both paths."""
+    if by_hash:
+        key = [F.xxhash64(F.col(text_col)).alias("_h"), F.length(text_col).alias("_l")]
+        return (
+            df.groupBy(*key)
+            .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+            .select("keep_id", "dup_count")
+        )
     return df.groupBy(text_col).agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
     ).drop(text_col).select("keep_id", "dup_count")
@@ -402,12 +415,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     group_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs.
 
     Pure DataFrame ops: explode distinct n-grams -> inverted-index join
     -> |A∩B| per pair -> Jaccard from per-doc distinct counts. Scoped to
-    group_col (e.g. same source) to bound the join at scale."""
+    group_col (e.g. same source) to bound the join at scale.
+
+    max_df is the stopgram guard for the inverted-index join: a gram
+    appearing in more than max_df documents contributes O(df^2) join
+    rows while carrying almost no similarity signal (it's a stopword
+    phrase); dropping it bounds the join at the cost of slightly
+    UNDERestimating Jaccard for pairs sharing that gram (denominator
+    counts are taken before the cut, so scores only shrink — a pair can
+    be missed near the threshold, never invented). None (default)
+    computes the exact value and matches the SQL oracle."""
     # Docs with fewer than n words contribute NO grams (the F.when guard:
     # explode of a NULL array emits no rows) — without it, sequence(0, 0)
     # yields one sub-n-word "gram" per short doc, which the exact
@@ -429,6 +452,11 @@ def ngram_jaccard_pairs(
         ).alias("gram"),
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    if max_df is not None:
+        doc_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        grams = grams.join(
+            doc_freq.filter(F.col("_df") <= max_df).drop("_df"), on="gram", how="inner"
+        )
     join_keys = ["gram"] + ([group_col] if group_col else [])
     l = grams.select(*join_keys, F.col(id_col).alias("id_a"))
     r = grams.select(*join_keys, F.col(id_col).alias("id_b"))

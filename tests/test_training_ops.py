@@ -236,3 +236,25 @@ class TestCosineLSH:
         a = sorted(map(tuple, dedup.cosine_lsh_pairs(df, 0.99).select("id_a", "id_b").collect()))
         b = sorted(map(tuple, dedup.cosine_lsh_pairs(df, 0.99).select("id_a", "id_b").collect()))
         assert a == b and (0, 10) in a
+
+
+class TestDedupScaleVariants:
+    def test_exact_dedup_by_hash_matches_by_text(self, spark, docs):
+        a = sorted(map(tuple, dedup.exact_dedup(docs).collect()))
+        b = sorted(map(tuple, dedup.exact_dedup(docs, by_hash=True).collect()))
+        assert a == b
+
+    def test_ngram_max_df_drops_stopgrams_only_downward(self, spark):
+        """The stopgram cut may only shrink Jaccard scores (denominators
+        are pre-cut), never add pairs."""
+        rows = [(i, f"the common prefix is shared unique{i} tail{i}") for i in range(20)]
+        rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = {(r.id_a, r.id_b): r.jaccard
+                 for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.01).collect()}
+        capped = {(r.id_a, r.id_b): r.jaccard
+                  for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.01, max_df=5).collect()}
+        assert set(capped) <= set(exact)
+        for k, v in capped.items():
+            assert v <= exact[k] + 1e-9
+        assert capped[(100, 101)] == 1.0  # rare-gram pair untouched
