@@ -58,6 +58,9 @@ def _frags(dialect: str) -> dict[str, str]:
         "host": (f"'10.' || CAST(user_id % 200 AS {s}) || '.' || CAST(event_id % 250 AS {s})"
                  f" || '.' || CAST((event_id * 7) % 250 AS {s})"),
         "user_str": f"CASE WHEN user_id % 5 = 0 THEN '-' ELSE 'u' || CAST(user_id % 100 AS {s}) END",
+        # identd field: mostly '-' like real logs, but present on a slice
+        # so the ident column and its JSON key-omission are exercised
+        "ident_str": f"CASE WHEN event_id % 11 = 7 THEN 'svc' || CAST(event_id % 10 AS {s}) ELSE '-' END",
         "ts_fmt": ts_fmt,
         "iso_fmt": iso_fmt,
         "off_str": _OFF_STR,
@@ -96,7 +99,7 @@ def _frags(dialect: str) -> dict[str, str]:
     f["status_piece"] = f"CASE WHEN {f['badk']} = 'badint' THEN 'NaN' ELSE {f['status_str']} END"
     f["line"] = (
         f"CASE WHEN {f['badk']} = 'garbage' THEN 'this is not a log line ' || CAST(event_id AS {s}) "
-        f"ELSE {f['host']} || ' - ' || {f['user_str']} || ' [' || {f['ts_piece']} || '] ' "
+        f"ELSE {f['host']} || ' ' || {f['ident_str']} || ' ' || {f['user_str']} || ' [' || {f['ts_piece']} || '] ' "
         f"|| '\"' || {f['method']} || ' ' || {f['uri']} || ' ' || {f['proto']} || '\" ' "
         f"|| {f['status_piece']} || ' ' || {f['clen_str']} END"
     )
@@ -107,7 +110,7 @@ def _frags(dialect: str) -> dict[str, str]:
     uap = f"CASE WHEN {f['badk_combined']} = 'emptyq' THEN '' ELSE {f['ua']} END"
     f["line_combined"] = (
         f"CASE WHEN {f['badk_combined']} = 'garbage' THEN 'this is not a log line ' || CAST(event_id AS {s}) "
-        f"ELSE {f['host']} || ' - ' || {f['user_str']} || ' [' || {tsp} || '] ' "
+        f"ELSE {f['host']} || ' ' || {f['ident_str']} || ' ' || {f['user_str']} || ' [' || {tsp} || '] ' "
         f"|| '\"' || {f['method']} || ' ' || {f['uri']} || ' ' || {f['proto']} || '\" ' "
         f"|| {stp} || ' ' || {f['clen_str']} "
         f"|| ' \"' || {f['referer']} || '\" \"' || {uap} || '\"' END"
@@ -153,6 +156,7 @@ base AS (
     {f['badk']} AS badk,
     {f['line']} AS line,
     {f['host']} AS e_host,
+    CASE WHEN event_id % 11 = 7 THEN 'svc' || CAST(event_id % 10 AS VARCHAR) END AS e_ident,
     CASE WHEN user_id % 5 = 0 THEN NULL ELSE 'u' || CAST(user_id % 100 AS VARCHAR) END AS e_user,
     {f['iso_fmt']} || {f['off_rfc']} AS e_ts_str,
     {f['method']} AS e_method,
@@ -170,6 +174,7 @@ expected AS (
     CASE WHEN badk = 'badts' THEN 'TimestampParseError'
          WHEN badk IN ('garbage', 'badint') THEN 'ParseError' END AS error_kind,
     CASE WHEN badk = 'ok' THEN e_host END AS remote_host,
+    CASE WHEN badk = 'ok' THEN e_ident END AS ident,
     CASE WHEN badk = 'ok' THEN e_user END AS remote_user,
     CASE WHEN badk = 'ok' THEN e_ts_str END AS timestamp_str,
     CASE WHEN badk = 'ok' THEN e_method END AS method,
@@ -185,9 +190,9 @@ expected AS (
 
 
 _PARSE_COLS = [
-    "doc_id", "source", "remote_host", "remote_user", "timestamp_str", "requested_url",
-    "method", "requested_uri", "protocol", "status_code", "content_length", "version",
-    "message", "error_kind",
+    "doc_id", "source", "remote_host", "ident", "remote_user", "timestamp_str",
+    "requested_url", "method", "requested_uri", "protocol", "status_code",
+    "content_length", "version", "message", "error_kind",
 ]
 
 
@@ -202,9 +207,9 @@ def q_parse_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PARSE_COMMON = f"""
 WITH {_oracle_base()}
-SELECT doc_id, source, remote_host, remote_user, timestamp_str, requested_url,
-       method, requested_uri, protocol, status_code, content_length, version,
-       line AS message, error_kind
+SELECT doc_id, source, remote_host, ident, remote_user, timestamp_str,
+       requested_url, method, requested_uri, protocol, status_code,
+       content_length, version, line AS message, error_kind
 FROM expected
 """
 
@@ -525,6 +530,7 @@ cbase AS (
     {f['badk_combined']} AS badk,
     {f['line_combined']} AS line,
     {f['host']} AS e_host,
+    CASE WHEN event_id % 11 = 7 THEN 'svc' || CAST(event_id % 10 AS VARCHAR) END AS e_ident,
     CASE WHEN user_id % 5 = 0 THEN NULL ELSE 'u' || CAST(user_id % 100 AS VARCHAR) END AS e_user,
     {f['iso_fmt']} || {f['off_rfc']} AS e_ts_str,
     {f['method']} AS e_method,
@@ -542,6 +548,7 @@ cexpected AS (
     CASE WHEN badk = 'badts' THEN 'TimestampParseError'
          WHEN badk IN ('garbage', 'badint', 'emptyq') THEN 'ParseError' END AS error_kind,
     CASE WHEN badk = 'ok' THEN e_host END AS remote_host,
+    CASE WHEN badk = 'ok' THEN e_ident END AS ident,
     CASE WHEN badk = 'ok' THEN e_user END AS remote_user,
     CASE WHEN badk = 'ok' THEN e_ts_str END AS timestamp_str,
     CASE WHEN badk = 'ok' THEN e_method END AS method,
@@ -573,6 +580,7 @@ SELECT doc_id,
     '"@timestamp":' || to_json(timestamp_str),
     '"@version":"1"',
     CASE WHEN content_length IS NOT NULL THEN '"content_length":' || content_length END,
+    CASE WHEN ident IS NOT NULL THEN '"ident":' || to_json(ident) END,
     '"message":' || to_json(line),
     '"method":' || to_json(method),
     '"protocol":' || to_json(protocol),
@@ -958,13 +966,11 @@ def q_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.drop_near_duplicates(docs, pairs).select("doc_id")
 
 
-SQL_DEDUP_FILTER = SQL_MINHASH_PAIRS.replace(
-    ")\nSELECT id_a, id_b FROM inter",
-    "),\npair_set AS (\nSELECT id_a, id_b FROM inter",
-).rstrip() + """
-)
+# The pair query embeds verbatim as a derived table (DuckDB allows WITH
+# inside a parenthesized subquery) — no brittle string surgery.
+SQL_DEDUP_FILTER = f"""
 SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT id_b FROM pair_set)
+WHERE doc_id NOT IN (SELECT id_b FROM ({SQL_MINHASH_PAIRS}) AS pair_set)
 """
 
 
@@ -1225,21 +1231,30 @@ def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import stream as stream_mod
     from .plans.pipeline import PipelineConfig
 
+    import shutil
+
     base = tempfile.mkdtemp(prefix="redeye_stream_q_")
-    raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir)).coalesce(1)
-    raw.write.mode("overwrite").parquet(base + "/in")
-    q = stream_mod.start_windowed_counts(
-        spark, base + "/in", base + "/out", base + "/ckpt",
-        cfg=PipelineConfig(), window="1 hour", watermark="2 hours",
-        trigger_available_now=True, max_files_per_trigger=None,
-    )
-    q.awaitTermination(600)
-    got = spark.read.parquet(base + "/out")
-    return got.select(
-        "sink",
-        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket_str"),
-        "status_class", "method", "source", "n",
-    )
+    try:
+        raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir)).coalesce(1)
+        raw.write.mode("overwrite").parquet(base + "/in")
+        q = stream_mod.start_windowed_counts(
+            spark, base + "/in", base + "/out", base + "/ckpt",
+            cfg=PipelineConfig(), window="1 hour", watermark="2 hours",
+            trigger_available_now=True, max_files_per_trigger=None,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_counts query did not finish within 600s")
+        got = spark.read.parquet(base + "/out").select(
+            "sink",
+            F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket_str"),
+            "status_class", "method", "source", "n",
+        )
+        # materialize so the temp corpus/checkpoint can be removed now
+        # instead of leaking a corpus copy per invocation
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # Watermark semantics replicated: a window [start, start+1h) is emitted

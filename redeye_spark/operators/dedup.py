@@ -381,9 +381,16 @@ def cosine_lsh_pairs(
             lambda acc, v: acc + v,
         )
 
-    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
-        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
-    )
+    # Zero-norm guard: 0/0 is NaN, and Spark ranks NaN ABOVE every double,
+    # so an unguarded NaN >= threshold is TRUE — zero vectors (failed or
+    # padded embeddings) would be emitted as near-duplicates of anything
+    # they band with. Define their cosine as 0 (the exact path's rule).
+    na2 = dot(F.col("va"), F.col("va"))
+    nb2 = dot(F.col("vb"), F.col("vb"))
+    cos = F.when(
+        (na2 > 0) & (nb2 > 0),
+        dot(F.col("va"), F.col("vb")) / F.sqrt(na2 * nb2),
+    ).otherwise(F.lit(0.0))
     return (
         pairs.filter(cos >= threshold)  # raw value decides membership
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))

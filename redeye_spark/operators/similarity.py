@@ -138,7 +138,10 @@ def fit_centroids(
     scan; only ~sample_rows vectors ever reach the driver."""
     n = corpus.count()
     frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
-    sample_df = corpus.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows)
+    # no .limit() after sample(): CollectLimit keeps first-rows in scan
+    # order, which would systematically discard the last-scanned files'
+    # rows; the fraction alone bounds the driver-side size (~1.2x target)
+    sample_df = corpus.select(vec_col).sample(fraction=frac, seed=seed)
     sample = np.vstack([r[0] for r in sample_df.collect()]).astype(np.float64)
     sample = _normalize(sample)
     rng = np.random.default_rng(seed)

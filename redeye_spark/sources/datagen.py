@@ -108,7 +108,7 @@ def _gen_lines(
     # Non-greedy: the timestamp is the FIRST bracketed group. Greedy .* in
     # combined lines containing 'Mozilla/4.08 [en] ...' spanned to the UA's
     # ']' and mangled ~11% of badts rows into plain ParseErrors.
-    line = line.where(~(bad & (kinds == "badts")), line.str.replace(r"\[.*?\]", "[not-a-time]", regex=True))
+    line = line.where(~(bad & (kinds == "badts")), line.str.replace(r"\[.*?\]", "[not-a-time]", n=1, regex=True))
     line = line.where(~(bad & (kinds == "badint")), line.str.replace(r"\" (\d+|-) ", '" NaN ', n=1, regex=True))
     line = line.where(~(bad & (kinds == "truncated")), line.str.slice(0, 30))
     if fmt == FORMAT_COMBINED:
