@@ -258,3 +258,16 @@ class TestDedupScaleVariants:
         for k, v in capped.items():
             assert v <= exact[k] + 1e-9
         assert capped[(100, 101)] == 1.0  # rare-gram pair untouched
+
+    def test_zero_vectors_never_pair(self, spark):
+        """0/0 cosine is NaN and Spark ranks NaN above all doubles — the
+        guard must define zero-norm cosine as 0 so zero vectors (failed/
+        padded embeddings) are never emitted as near-duplicates."""
+        rng = np.random.default_rng(9)
+        rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+        rows += [(100, [0.0] * 8), (101, [0.0] * 8)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = dedup.cosine_lsh_pairs(df, threshold=0.5).toPandas()
+        ids = set(got["id_a"]) | set(got["id_b"])
+        assert 100 not in ids and 101 not in ids
+        assert got["cosine"].notna().all()
