@@ -303,6 +303,61 @@ FROM expected GROUP BY ALL
 """
 
 
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (COUNT DISTINCT per group): plans as the
+    two-phase expand/partial-distinct strategy — the scale-correct shape
+    (per-partition dedup before the shuffle)."""
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.filter(F.col("error_kind").isNull())
+        .groupBy("method")
+        .agg(
+            F.countDistinct("remote_host").alias("n_hosts"),
+            F.countDistinct("requested_uri").alias("n_uris"),
+            F.count(F.lit(1)).alias("n_requests"),
+        )
+    )
+
+
+SQL_DISTINCT_COUNTS = f"""
+WITH {_oracle_base()}
+SELECT method,
+       COUNT(DISTINCT remote_host) AS n_hosts,
+       COUNT(DISTINCT requested_uri) AS n_uris,
+       COUNT(*) AS n_requests
+FROM expected WHERE error_kind IS NULL
+GROUP BY method
+"""
+
+
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark `percentile` == DuckDB
+    quantile_cont: linear interpolation on the sorted values). The
+    approximate-sketch variant for 100 TB is percentile_approx /
+    approx_quantile — same plan shape, bounded state."""
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.filter(F.col("error_kind").isNull() & F.col("content_length").isNotNull())
+        .groupBy("method")
+        .agg(
+            F.round(F.expr("percentile(content_length, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(content_length, 0.95)"), 4).alias("p95"),
+            F.max("content_length").alias("max_len"),
+        )
+    )
+
+
+SQL_LATENCY_PERCENTILES = f"""
+WITH {_oracle_base()}
+SELECT method,
+       round(quantile_cont(content_length, 0.5), 4) AS p50,
+       round(quantile_cont(content_length, 0.95), 4) AS p95,
+       MAX(content_length) AS max_len
+FROM expected WHERE error_kind IS NULL AND content_length IS NOT NULL
+GROUP BY method
+"""
+
+
 def q_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-array equality invariant (FIXTURES §3.1) for every row."""
     parsed = parse_op.validate_tokens(_parsed(spark, sf_dir, carry_tokens=True))
@@ -482,6 +537,8 @@ QUERIES = {
     "enrich_status_class": q_enrich_status_class,
     "route_counts": q_route_counts,
     "agg_counts_hour": q_agg_counts_hour,
+    "distinct_counts": q_distinct_counts,
+    "latency_percentiles": q_latency_percentiles,
     "token_roundtrip": q_token_roundtrip,
     "json_lines": q_json_lines,
     "lineitem_pricing": q_lineitem_pricing,
@@ -498,6 +555,8 @@ ORACLES = {
     "enrich_status_class": SQL_ENRICH_STATUS_CLASS,
     "route_counts": SQL_ROUTE_COUNTS,
     "agg_counts_hour": SQL_AGG_COUNTS_HOUR,
+    "distinct_counts": SQL_DISTINCT_COUNTS,
+    "latency_percentiles": SQL_LATENCY_PERCENTILES,
     "token_roundtrip": SQL_TOKEN_ROUNDTRIP,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "nation_revenue": SQL_NATION_REVENUE,
