@@ -1276,6 +1276,54 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the derived log corpus: every line carries an
+    IPv4 (the remote host) and an appended synthetic email, so both
+    placeholder substitutions are exercised; chained regexp_replace runs
+    at scan speed. Patterns are Java-regex/RE2-common so the DuckDB
+    oracle replays them verbatim."""
+    from .operators import text as text_op
+
+    lines = _spark_lines(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("line"), F.lit(" "), F.col("doc_id"), F.lit("@example.net")).alias("text"),
+    )
+    return text_op.redact_pii(lines).select("doc_id", "text_redacted")
+
+
+SQL_REDACT_PII = f"""
+WITH {_oracle_base()}
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(line || ' ' || doc_id || '@example.net',
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<email>', 'g'),
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<ipv4>', 'g'
+       ) AS text_redacted
+FROM expected
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: md5-keyed global order
+    (range-partitioned sort at scale); the first 25 keys are checked —
+    both engines compute the identical md5 permutation."""
+    from .operators import sequences as seq_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        seq_op.epoch_shuffle(docs, epoch=1)
+        .select("doc_id", "shuffle_key")
+        .limit(25)
+    )
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id, md5('e1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key LIMIT 25
+"""
+
+
 def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end to end under a full oracle: the derived
     corpus streams through readStream -> the SAME parse/enrich/tag plan
@@ -1342,6 +1390,8 @@ QUERIES.update({
     "pack_sequences": q_pack_sequences,
     "cosine_near_dup": q_cosine_near_dup,
     "stream_counts": q_stream_counts,
+    "redact_pii": q_redact_pii,
+    "epoch_shuffle": q_epoch_shuffle,
 })
 ORACLES.update({
     "session_stats": SQL_SESSION_STATS,
@@ -1349,4 +1399,6 @@ ORACLES.update({
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "stream_counts": SQL_STREAM_COUNTS,
+    "redact_pii": SQL_REDACT_PII,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 })

@@ -102,6 +102,27 @@ def pack_sequences(
     return df.select("doc_id", "tokens").mapInPandas(fn, schema=PACKED_SCHEMA)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training epochs: every row gets
+    shuffle_key = md5(epoch || id) and the frame is range-partitioned +
+    sorted by it — a reproducible, seedable total order computed with a
+    scale-correct sort (range exchange, no single-reducer window). A new
+    epoch re-keys, giving a fresh permutation from the same data."""
+    keyed = df.withColumn(
+        "shuffle_key", F.md5(F.concat(F.lit(f"e{epoch}:"), F.col(id_col).cast("string")))
+    )
+    if num_partitions:
+        return keyed.repartitionByRange(num_partitions, "shuffle_key").sortWithinPartitions(
+            "shuffle_key"
+        )
+    return keyed.orderBy("shuffle_key")
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

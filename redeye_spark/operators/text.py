@@ -107,6 +107,24 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", guess)
 
 
+# Conservative patterns that mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB): plain character classes + \b, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "text_redacted") -> DataFrame:
+    """Scrub common PII shapes (emails, IPv4s) with typed placeholders —
+    the standard pre-training curation pass. Pure chained regexp_replace:
+    whole-stage codegen, scan speed at 100 TB."""
+    c = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{name}>")
+    return df.withColumn(out_col, c)
+
+
 def fingerprint(col: Column) -> Column:
     """Order-sensitive 64-bit document fingerprint: xxhash of each word
     chained with its position (aggregate fold — rolling-hash analog that
