@@ -358,6 +358,26 @@ GROUP BY method
 """
 
 
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-grouping (Expand-based plan: one pass emits all
+    grouping sets). Error rows are excluded first so NULL grouping keys
+    unambiguously mark subtotal rows in both engines."""
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.filter(F.col("error_kind").isNull())
+        .rollup("method", "protocol")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_ROLLUP_COUNTS = f"""
+WITH {_oracle_base()}
+SELECT method, protocol, COUNT(*) AS n
+FROM expected WHERE error_kind IS NULL
+GROUP BY ROLLUP(method, protocol)
+"""
+
+
 def q_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-array equality invariant (FIXTURES §3.1) for every row."""
     parsed = parse_op.validate_tokens(_parsed(spark, sf_dir, carry_tokens=True))
@@ -539,6 +559,7 @@ QUERIES = {
     "agg_counts_hour": q_agg_counts_hour,
     "distinct_counts": q_distinct_counts,
     "latency_percentiles": q_latency_percentiles,
+    "rollup_counts": q_rollup_counts,
     "token_roundtrip": q_token_roundtrip,
     "json_lines": q_json_lines,
     "lineitem_pricing": q_lineitem_pricing,
@@ -557,6 +578,7 @@ ORACLES = {
     "agg_counts_hour": SQL_AGG_COUNTS_HOUR,
     "distinct_counts": SQL_DISTINCT_COUNTS,
     "latency_percentiles": SQL_LATENCY_PERCENTILES,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
     "token_roundtrip": SQL_TOKEN_ROUNDTRIP,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "nation_revenue": SQL_NATION_REVENUE,
