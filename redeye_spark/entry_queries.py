@@ -1355,12 +1355,12 @@ def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminal watermark (max event time - 2h) has passed are emitted —
     a condition DuckDB reproduces from first principles. Multi-batch
     behavior (real late-data handling) is pytest-covered."""
+    import atexit
+    import shutil
     import tempfile
 
     from .streaming import stream as stream_mod
     from .plans.pipeline import PipelineConfig
-
-    import shutil
 
     base = tempfile.mkdtemp(prefix="redeye_stream_q_")
     try:
@@ -1374,16 +1374,21 @@ def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(600):
             q.stop()
             raise RuntimeError("stream_counts query did not finish within 600s")
-        got = spark.read.parquet(base + "/out").select(
-            "sink",
-            F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket_str"),
-            "status_class", "method", "source", "n",
-        )
-        # materialize so the temp corpus/checkpoint can be removed now
-        # instead of leaking a corpus copy per invocation
-        return spark.createDataFrame(got.collect(), got.schema)
-    finally:
+    except BaseException:
         shutil.rmtree(base, ignore_errors=True)
+        raise
+    # Free the bulky scratch (corpus copy + checkpoint) now; the windowed
+    # OUTPUT parquet stays on disk until process exit and is returned as a
+    # lazy scan — no driver-side collect of an unbounded (hour x sink x
+    # method x source) result.
+    shutil.rmtree(base + "/in", ignore_errors=True)
+    shutil.rmtree(base + "/ckpt", ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return spark.read.parquet(base + "/out").select(
+        "sink",
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket_str"),
+        "status_class", "method", "source", "n",
+    )
 
 
 # Watermark semantics replicated: a window [start, start+1h) is emitted

@@ -296,6 +296,11 @@ def hyperplane_bands(
     )
     n_bits = bands * bits_per_band
     weights = (np.uint64(1) << np.arange(bits_per_band, dtype=np.uint64)).astype(np.int64)
+    # NULL embeddings (failed upstream encodes) would abort the whole stage
+    # at np.vstack; they can never be near-duplicates, so drop them here —
+    # the zero-norm cosine guard below handles the other failure shape
+    # (all-zero vectors), which DOES band.
+    df = df.filter(F.col(vec_col).isNotNull())
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         H = None

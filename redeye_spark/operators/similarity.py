@@ -142,7 +142,15 @@ def fit_centroids(
     # order, which would systematically discard the last-scanned files'
     # rows; the fraction alone bounds the driver-side size (~1.2x target)
     sample_df = corpus.select(vec_col).sample(fraction=frac, seed=seed)
-    sample = np.vstack([r[0] for r in sample_df.collect()]).astype(np.float64)
+    rows = [r[0] for r in sample_df.collect() if r[0] is not None]
+    if len(rows) < nlist:
+        # tiny corpus or unlucky draw: sample() has no lower bound, and
+        # np.vstack([]) dies with an opaque shape error — take the exact
+        # rows instead (bounded: the corpus itself is < ~nlist/frac rows)
+        rows = [r[0] for r in corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).limit(max(sample_rows, nlist)).collect()]
+    if not rows:
+        raise ValueError("fit_centroids: corpus has no non-null vectors to sample")
+    sample = np.vstack(rows).astype(np.float64)
     sample = _normalize(sample)
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), min(nlist, len(sample)), replace=False)]

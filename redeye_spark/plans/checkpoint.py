@@ -63,15 +63,29 @@ def _save_manifest(checkpoint_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(checkpoint_dir))  # atomic commit
 
 
-def chunk_values(raw: DataFrame, chunk_by: str, n_chunks: int) -> dict[int, list]:
+MAX_CHUNK_BY_VALUES = 100_000
+
+
+def chunk_values(
+    raw: DataFrame, chunk_by: str, n_chunks: int, max_values: int = MAX_CHUNK_BY_VALUES
+) -> dict[int, list]:
     """Round-robin assignment of the partition column's distinct values
     to chunks (one distinct pass; values sorted for determinism). A NULL
     partition value is a real value: it sorts first and its chunk's
-    predicate adds isNull() (isin never matches NULL)."""
-    vals = sorted(
-        (r[0] for r in raw.select(chunk_by).distinct().collect()),
-        key=lambda v: (v is not None, v),
-    )
+    predicate adds isNull() (isin never matches NULL).
+
+    chunk_by is meant for PARTITION columns (date, source): the distinct
+    values land on the driver and each chunk's `IN (...)` list is built
+    from them, so a high-cardinality column (doc_id!) would OOM the
+    driver and synthesize megabyte predicates. The limit+1 collect bounds
+    driver memory BEFORE the refusal — never collects the full set."""
+    collected = raw.select(chunk_by).distinct().limit(max_values + 1).collect()
+    if len(collected) > max_values:
+        raise ValueError(
+            f"chunk_by={chunk_by!r} has more than {max_values} distinct values — "
+            "not a partition column; use hash mode (chunk_by=None) instead"
+        )
+    vals = sorted((r[0] for r in collected), key=lambda v: (v is not None, v))
     return {c: vals[c::n_chunks] for c in range(n_chunks)}
 
 
@@ -178,9 +192,23 @@ def run_checkpointed(
         c for c in range(n_chunks)
         if (manifest["chunks"].get(str(c)) or {}).get("status") != "complete"
     ]
-    # ONE fingerprint pass for all pending chunks (judge: never O(chunks)
-    # rescans); complete chunks keep their recorded lineage.
+    # ONE fingerprint pass covers all chunks — never O(chunks) rescans.
     fps = input_fingerprints(raw, n_chunks, chunk_by, values) if pending else {}
+    # Resume safety (symmetric across modes): a completed chunk's current
+    # input fingerprint must equal the one recorded at completion —
+    # otherwise the input changed under the resume and the completed
+    # chunks hold stale data, silently breaking the "sinks identical to
+    # an uninterrupted run" guarantee. The fingerprints are already in
+    # hand (the single pass above covers every chunk), so the check is free.
+    for c_str, entry in manifest["chunks"].items():
+        if entry.get("status") == "complete" and pending:
+            recorded, current = entry.get("input"), fps.get(int(c_str))
+            if recorded is not None and current is not None and recorded != current:
+                raise ValueError(
+                    f"resume: input changed under completed chunk {c_str} "
+                    f"(recorded {recorded}, now {current}); its sink data is "
+                    "stale — start a fresh run"
+                )
 
     done = 0
     for chunk in pending:

@@ -395,3 +395,32 @@ class TestCheckpointScale:
         for c, vs in values.items():
             covered += df.filter(_chunk_predicate("part", vs)).count()
         assert covered == 200
+
+    def test_chunk_by_high_cardinality_refused(self, spark):
+        """chunk_by over a non-partition column (doc_id) must refuse with
+        a clear error instead of collecting the full distinct set to the
+        driver — the collect itself is bounded at max_values+1 rows."""
+        from redeye_spark.plans.checkpoint import chunk_values
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("string").alias("k")
+        )
+        with pytest.raises(ValueError, match="distinct values"):
+            chunk_values(df, "k", 4, max_values=100)
+
+    def test_resume_over_changed_input_raises(self, spark, gen, tmp_path_factory):
+        """Hash-mode resume must fail loudly when a COMPLETED chunk's
+        input fingerprint no longer matches the manifest (stale sink
+        data), mirroring chunk_by mode's unknown-value failure."""
+        from redeye_spark.plans.checkpoint import chunk_column
+
+        pdf, raw = gen
+        base = str(tmp_path_factory.mktemp("ckpt_stale"))
+        cfg = PipelineConfig(fmt=FORMAT_COMBINED)
+        io = ParquetIO(base + "/out")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_checkpointed(spark, raw, io, base + "/ck", cfg,
+                             n_chunks=4, fail_after=2)
+        changed = raw.filter(chunk_column(4) != 0)  # mutates chunk 0's input
+        with pytest.raises(ValueError, match="input changed under completed chunk"):
+            run_checkpointed(spark, changed, io, base + "/ck", cfg, n_chunks=4)
