@@ -1096,14 +1096,55 @@ FROM m
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=3 pairs (rows-only: the hamming cut selects a
-    hash-defined SUBSET of the true near-dups — 21 of 25 at sf0.01 —
-    with no SQL-expressible characterization; banding/hamming semantics
-    are pytest-verified)."""
+    """SimHash hamming<=3 pairs under a FULL oracle: the md5-keyed token
+    hash is shared with DuckDB, which rebuilds every signature from the
+    same md5 hex digits (64 bit-vote sums) and applies the exact
+    all-pairs bit_count(xor) <= 3 cut. Spark's banded pair set equals
+    the exact cut because hamming <= 3 over 4 16-bit blocks guarantees
+    at least one identical block (pigeonhole) — so this verifies
+    tokenization, hashing, voting, banding, AND the hamming filter."""
     from .operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
+def _simhash_oracle_sql(seed: int = 42, max_hamming: int = 3) -> str:
+    """DuckDB replica of simhash_signatures: bit b of a token's 64-bit
+    hash lives in md5-hex digit 16 - b//4 (1-based, big-endian), bit
+    b%4 of the digit's value. Weight of bit 63 is long-min (sign bit)."""
+    bit_sums = ",\n         ".join(
+        f"sum(((strpos('0123456789abcdef', substr(hx, {16 - b // 4}, 1))-1) >> {b % 4}) & 1) AS c{b}"
+        for b in range(64)
+    )
+    weights = " + ".join(
+        f"CASE WHEN 2*c{b} > n THEN {-(1 << 63) if b == 63 else (1 << b)} ELSE 0 END"
+        for b in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5('sh{seed}:' || tok) AS hx FROM toks),
+bits AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({weights} AS BIGINT) AS sh FROM bits),
+allsig AS (
+  SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_PAIRS = _simhash_oracle_sql()
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1176,7 +1217,7 @@ ORACLES.update({
     "dedup_filter": SQL_DEDUP_FILTER,
     "quality_score": SQL_QUALITY_SCORE,
     "frame_sample": SQL_FRAME_SAMPLE,
-    # simhash_pairs: rows-only (see q_simhash_pairs docstring)
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
 })
 
 
@@ -1429,3 +1470,244 @@ ORACLES.update({
     "redact_pii": SQL_REDACT_PII,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
 })
+
+
+# ---------------------------------------------------------------------------
+# Round 3: fact x fact shuffle join, set ops, sketch percentiles
+# ---------------------------------------------------------------------------
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape large x large SHUFFLE join: orders semi-joined to
+    lineitem on orderkey plus a non-equi lateness condition (a lineitem
+    shipped >60 days after the order date). Neither side of a fact x fact
+    join fits a broadcast at scale, so the lineitem side carries an
+    explicit MERGE hint: both sides shuffle-partition on the key and
+    sort-merge — the plan a 100 TB lineitem JOIN orders actually runs
+    (and what AQE would pick once both sides exceed the broadcast
+    threshold; the hint makes the shape deterministic across SFs).
+    Plan-gated in tests/test_plans.py: SortMergeJoin + LeftSemi, no
+    BroadcastHashJoin; AQE skew-split over this shape is smoke-tested
+    separately."""
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    late = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li.hint("merge"), late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY_COUNTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op (SURVEY §2.2 'Set ops'): customers who ordered in
+    1995 but not in 1996. subtract() is EXCEPT DISTINCT — plans as a
+    left-anti aggregate over the two scans, the corpus-delta shape
+    (yesterday's ids minus today's) a training pipeline diffs snapshots
+    with."""
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+SQL_CUSTOMER_CHURN = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def q_customer_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op: customers active in both 1995 and 1996."""
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    b = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+SQL_CUSTOMER_RETAINED = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def q_latency_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx (Greenwald-Khanna
+    sketch, memory bounded by `accuracy` regardless of group size) over
+    the same grouping as the exact q_latency_percentiles. With accuracy
+    >= the group size the sketch buffers losslessly and returns the
+    EXACT discrete quantile (the element at rank ceil(p*n)) — equal to
+    DuckDB quantile_disc, which is the oracle here. At scale the same
+    plan holds with rank error <= n/accuracy instead of an exact-percentile
+    OOM (exact `percentile` buffers every value per group)."""
+    parsed = _parsed(spark, sf_dir)
+    acc = F.lit(1_000_000)
+    return (
+        parsed.filter(F.col("error_kind").isNull() & F.col("content_length").isNotNull())
+        .groupBy("method")
+        .agg(
+            F.percentile_approx("content_length", F.lit(0.5), acc).alias("p50"),
+            F.percentile_approx("content_length", F.lit(0.95), acc).alias("p95"),
+            F.percentile_approx("content_length", F.lit(0.99), acc).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_LATENCY_PERCENTILES_APPROX = f"""
+WITH {_oracle_base()}
+SELECT method,
+       quantile_disc(content_length, 0.5) AS p50,
+       quantile_disc(content_length, 0.95) AS p95,
+       quantile_disc(content_length, 0.99) AS p99,
+       COUNT(*) AS n
+FROM expected WHERE error_kind IS NULL AND content_length IS NOT NULL
+GROUP BY method
+"""
+
+
+QUERIES.update({
+    "order_priority_counts": q_order_priority_counts,
+    "customer_churn": q_customer_churn,
+    "customer_retained": q_customer_retained,
+    "latency_percentiles_approx": q_latency_percentiles_approx,
+})
+ORACLES.update({
+    "order_priority_counts": SQL_ORDER_PRIORITY_COUNTS,
+    "customer_churn": SQL_CUSTOMER_CHURN,
+    "customer_retained": SQL_CUSTOMER_RETAINED,
+    "latency_percentiles_approx": SQL_LATENCY_PERCENTILES_APPROX,
+})
+
+
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    labeled with the minimum doc_id reachable through minhash pairs
+    (singletons label themselves). Closes the chain-shaped gap of the
+    keep-lowest-id policy. Oracle: DuckDB recursive CTE computing min
+    reachable id over the EXACT char-5-shingle Jaccard pair set (which
+    equals the LSH pair set on this corpus — see q_minhash_pairs)."""
+    from .operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    comps = dedup.connected_components(pairs)
+    return docs.select("doc_id").join(comps, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+
+
+SQL_DEDUP_CC = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+QUERIES.update({"dedup_cc": q_dedup_cc})
+ORACLES.update({"dedup_cc": SQL_DEDUP_CC})
+
+
+def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (fake=False): each document's ASCII text is
+    wrapped into a valid binary-PPM (P6) payload — header with
+    doc_id-derived dimensions, pixel bytes = the text rpad-repeated to
+    width*height*3 — and decoded by the pure-numpy PPM parser
+    (operators/multimodal._decode_ppm). The oracle re-derives width,
+    height, and all 8 histogram features from the same byte arithmetic
+    in SQL. Features come back as 8 scalar columns (not an array) so the
+    cross-engine value hash is type-stable; float32 -> double -> round(6)
+    is bit-identical in both engines (same IEEE ops)."""
+    from .operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.format_string(
+                    "P6\n%d %d\n255\n",
+                    (F.col("doc_id") % 5 + 4).cast("int"),
+                    (F.col("doc_id") % 4 + 3).cast("int"),
+                ),
+                F.expr(
+                    "rpad(text, cast((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3 as int), text)"
+                ),
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    feats = multimodal.decode_image(media, fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        *[
+            F.round(F.col("features")[k].cast("double"), 6).alias(f"f{k}")
+            for k in range(8)
+        ],
+    )
+
+
+_DECODE_BUCKETS = ",\n         ".join(
+    f"sum(CASE WHEN b = {k} THEN 1 ELSE 0 END) AS c{k}" for k in range(8)
+)
+_DECODE_FEATS = ",\n       ".join(
+    f"round(CAST(CAST(CAST(c{k} AS DOUBLE) / n AS REAL) AS DOUBLE), 6) AS f{k}" for k in range(8)
+)
+SQL_DECODE_IMAGE = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 4 AS INT) AS w,
+         CAST(doc_id % 4 + 3 AS INT) AS h,
+         rpad(text, CAST((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3 AS INT), text) AS pix
+  FROM documents
+),
+u AS (
+  SELECT doc_id, w, h, (ascii(substr(pix, CAST(i AS INT), 1)) // 32) AS b
+  FROM px, unnest(generate_series(1, length(pix))) AS t(i)
+),
+c AS (
+  SELECT doc_id, w, h, count(*) AS n,
+         {_DECODE_BUCKETS}
+  FROM u GROUP BY doc_id, w, h
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, w AS width, h AS height,
+       {_DECODE_FEATS}
+FROM c
+"""
+
+QUERIES.update({"decode_image": q_decode_image})
+ORACLES.update({"decode_image": SQL_DECODE_IMAGE})

@@ -22,7 +22,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 _MERSENNE = (1 << 61) - 1
@@ -197,48 +197,58 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_tokens(text_col: str) -> Column:
+    """Non-empty whitespace tokens — the shared tokenization both engines
+    reproduce (regexp split on \\s+, empties dropped)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens (id, simhash:long).
 
-    Vectorized: token hash -> ±1 per bit accumulated per row via
-    np.add.reduceat over the bit matrix."""
-    schema = T.StructType(
-        [
-            T.StructField(id_col, df.schema[id_col].dataType, False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
+    Token hash = first 16 hex chars of md5('sh{seed}:' || token) read as
+    a signed 64-bit int. md5 (over an earlier Python-side siphash)
+    because every SQL engine shares it, so signatures — and the
+    downstream Hamming cut — are independently recomputable: the
+    simhash_pairs DuckDB oracle rebuilds the exact bit votes from the
+    same md5 hex digits.
+
+    Shape is pure JVM whole-stage codegen, no Python anywhere: explode
+    tokens -> ONE hash aggregate with 64 conditional bit-sums (partial
+    aggregation means the shuffle carries one 65-long row per doc per
+    map partition, never tokens) -> majority vote per bit (strict: ones
+    > n/2). Zero-token docs (empty/whitespace-only text) re-enter as
+    simhash=0 via a second column-pruned scan + union — cheaper than a
+    corpus-wide join for an edge case."""
+    prefix = F.lit(f"sh{seed}:")
+    toks = df.select(
+        F.col(id_col), F.explode(_simhash_tokens(text_col)).alias("tok")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.concat(prefix, F.col("tok"))), 1, 16), 16, -10)
+        .cast("long")
+        .alias("h"),
     )
-
-    # 16-byte key makes pandas' siphash deterministic across processes
-    # (python's builtin hash() is salted per-process — never use it here).
-    hash_key = (f"redeye-sh-{seed:06d}" + "0" * 16)[:16]
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            if len(batch) == 0:
-                continue
-            toks = batch[text_col].fillna("").str.split()
-            counts = toks.map(len).to_numpy(dtype=np.int64)
-            exploded = toks.explode().dropna()
-            flat = pd.util.hash_array(
-                exploded.to_numpy(dtype=object), hash_key=hash_key, categorize=True
-            ).astype(np.uint64)
-            n = len(batch)
-            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            votes = np.zeros((n, 64), dtype=np.int64)
-            row_idx = np.repeat(np.arange(n), counts)
-            np.add.at(votes, row_idx, bits * 2 - 1)
-            sig = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-                axis=1, dtype=np.uint64
-            )
-            yield pd.DataFrame(
-                {id_col: batch[id_col].reset_index(drop=True),
-                 "simhash": sig.astype(np.int64)}
-            )
-
-    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
+    bit_sums = [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(64)
+    ]
+    g = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    sig = None
+    for b in range(64):
+        # bit 63 is the sign bit: its weight is long-min, and the partial
+        # sum of bits 0..62 peaks at 2^63-1, so the running total never
+        # overflows (ANSI mode would raise if it did)
+        w = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        term = F.when(F.col(f"c{b}") * 2 > F.col("n"), w).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    signed = g.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    empties = df.filter(F.size(_simhash_tokens(text_col)) == 0).select(
+        F.col(id_col), F.lit(0).cast("long").alias("simhash")
+    )
+    return signed.unionByName(empties)
 
 
 def simhash_near_pairs(
@@ -489,3 +499,51 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 50
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: (id, component)
+    where component = the minimum id reachable through pairs. Completes
+    the keep-lowest-id policy for chain-shaped (non-transitive) pair
+    sets, where drop_near_duplicates keeps >1 representative.
+
+    Iterative min-label propagation, all DataFrame ops: each round every
+    vertex takes the min of its own label and its neighbors' labels —
+    one shuffle join + one aggregate per round, converging in
+    O(diameter) rounds (dedup pair graphs are small-diameter clusters;
+    a 50-round cap guards degenerate path graphs). The label frontier is
+    (id, long) rows only — never documents — and each round's result is
+    localCheckpoint()ed: lineage stays O(1) instead of growing a plan
+    tree per round (at cluster scale, swap for a reliable checkpoint
+    dir). Convergence is detected by the monotone label-sum invariant:
+    labels only ever decrease, so an unchanged sum(comp) means a fixed
+    point — one cheap aggregate per round, no old-vs-new join."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur = new.agg(F.sum("comp")).collect()[0][0]
+        labels = new
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))

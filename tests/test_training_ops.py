@@ -168,9 +168,32 @@ class TestMultimodal:
         assert (got["n_bytes"] > 0).all()
         assert got["magic"].str.len().eq(8).all()  # 4 bytes hex
 
-    def test_decode_stub_raises_without_fake(self, spark, media):
-        with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    def test_decode_unknown_codec_raises(self, spark, media):
+        """Non-PPM payloads on the real path fail like a missing system
+        codec — inside the executor, with the codec named."""
+        with pytest.raises(Exception, match="NotImplementedError|unknown image codec"):
             multimodal.decode_image(media, fake=False).collect()
+
+    def test_real_ppm_decode(self, spark):
+        """fake=False REALLY decodes binary PPM: dimensions from the
+        header, features from the pixel bytes."""
+        import numpy as np
+
+        w, h = 4, 3
+        pixels = bytes(range(0, 256, 256 // (w * h * 3)))[: w * h * 3]
+        payload = b"P6\n%d %d\n255\n" % (w, h) + pixels
+        df = spark.createDataFrame([("p1", payload)], "doc_id string, payload binary")
+        row = multimodal.decode_image(df, fake=False).collect()[0]
+        assert (row["width"], row["height"]) == (w, h)
+        exp = np.bincount(np.frombuffer(pixels, np.uint8) >> 5, minlength=8)
+        assert np.allclose(row["features"], exp / exp.sum(), atol=1e-6)
+
+    def test_truncated_ppm_raises(self, spark):
+        df = spark.createDataFrame(
+            [("p1", b"P6\n4 3\n255\n" + b"ab")], "doc_id string, payload binary"
+        )
+        with pytest.raises(Exception, match="truncated PPM"):
+            multimodal.decode_image(df, fake=False).collect()
 
     def test_fake_decode_deterministic_features(self, spark, media):
         a = multimodal.decode_image(media, fake=True).toPandas().sort_values("doc_id")
@@ -271,3 +294,34 @@ class TestDedupScaleVariants:
         ids = set(got["id_a"]) | set(got["id_b"])
         assert 100 not in ids and 101 not in ids
         assert got["cosine"].notna().all()
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_one_component(self, spark):
+        """A path graph (1-2, 2-3, 3-4, plus an isolated pair 10-11) must
+        label every chain member with the chain minimum — exactly the
+        case the one-hop keep-lowest-id policy cannot collapse."""
+        from redeye_spark.operators import dedup
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+        )
+        got = {r["doc_id"]: r["component"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_max_iters_caps_rounds(self, spark):
+        """The round cap must bound a long path graph's label walk."""
+        from redeye_spark.operators import dedup
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], ["id_a", "id_b"]
+        )
+        got = {r["doc_id"]: r["component"]
+               for r in dedup.connected_components(pairs, max_iters=3).collect()}
+        # after 3 rounds labels have walked <= ~2^? hops: not fully
+        # converged necessarily, but every label is a valid upper bound
+        assert all(v <= k for k, v in got.items())
+        full = {r["doc_id"]: r["component"]
+                for r in dedup.connected_components(pairs).collect()}
+        assert set(full.values()) == {1}
