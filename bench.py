@@ -202,28 +202,45 @@ def main() -> None:
     corpus = os.path.join(base, "raw")
     ensure_corpus(corpus, n)
 
-    # lo is a long, stable run (noise averages out within it): once.
-    r_lo = best_of(lambda: run_cluster(1, base), n_runs=1)
+    # SYMMETRIC best-of-2 on both cluster sizes (plus the adaptive third
+    # run on outliers): this host's interference is bimodal on BOTH
+    # sides — single lo runs at the 4-core width swung 65-116 s across
+    # reps — so pairing one lucky lo with one unlucky hi (or vice versa)
+    # would swing recorded efficiency by +-0.2. Best-of on each side
+    # compares quiet-host windows with quiet-host windows.
+    r_lo = best_of(lambda: run_cluster(1, base), n_runs=2)
     r_hi = best_of(lambda: run_cluster(N_EXECUTORS_HI, base), n_runs=2)
     tput_lo = r_lo["rows_in"] / r_lo["wall_sec"]
     tput_hi = r_hi["rows_in"] / r_hi["wall_sec"]
     efficiency = (tput_hi / tput_lo) / N_EXECUTORS_HI
 
-    # Second topology: 8-core executors, 1 vs 4 (all 32 cores at the top
-    # size). Reported alongside the 2-core headline so the scaling claim
-    # doesn't rest on the friendliest width; this VM's memory-bandwidth
-    # calibration ceiling for 8->32 busy cores is recorded in
-    # BENCH/BASELINE.md next to the target.
-    # At 32 busy vCPUs this VM's hypervisor steal is bimodal (0-2% in
-    # quiet windows, ~10% under host interference, which lock-holder
-    # preemption amplifies into 35% sys-time spin and a 4x wall swing) —
-    # best-of-N rides out the bad windows; see BENCH/BASELINE.md.
-    WIDE = int(os.environ.get("REDEYE_EXEC_CORES_WIDE", "8"))
-    r_lo8 = best_of(lambda: run_cluster(1, base, cores_per_exec=WIDE), n_runs=1)
-    r_hi8 = best_of(lambda: run_cluster(N_EXECUTORS_HI, base, cores_per_exec=WIDE), n_runs=2)
-    tput_lo8 = r_lo8["rows_in"] / r_lo8["wall_sec"]
-    tput_hi8 = r_hi8["rows_in"] / r_hi8["wall_sec"]
-    efficiency8 = (tput_hi8 / tput_lo8) / N_EXECUTORS_HI
+    # Additional topologies, reported alongside the 2-core headline so
+    # the scaling claim doesn't rest on the friendliest width:
+    #   * 4-core executors: 1x4 vs 4x4 = 16 busy vCPUs at the top size —
+    #     exactly this VM's PHYSICAL core budget (32 vCPU = 16 x SMT2),
+    #     so it corroborates the >=0.8 rule without the SMT ceiling.
+    #   * 8-core executors: 4x8 = all 32 vCPUs — deliberately past the
+    #     physical budget; this VM's memory-bandwidth calibration ceiling
+    #     for 8->32 busy cores (0.57-0.59) is recorded in
+    #     BENCH/BASELINE.md next to the target, and its hypervisor steal
+    #     at 32 busy vCPUs is bimodal (0-2% quiet, ~10% under host
+    #     interference, amplified by lock-holder preemption into 35%
+    #     sys-time spin and a 4x wall swing) — best-of-N rides out the
+    #     bad windows.
+    def topology(width: int) -> dict:
+        r_lo_w = best_of(lambda: run_cluster(1, base, cores_per_exec=width), n_runs=2)
+        r_hi_w = best_of(lambda: run_cluster(N_EXECUTORS_HI, base, cores_per_exec=width), n_runs=2)
+        lo_t = r_lo_w["rows_in"] / r_lo_w["wall_sec"]
+        hi_t = r_hi_w["rows_in"] / r_hi_w["wall_sec"]
+        return {
+            "cores_per_executor": width,
+            "rows_per_sec_1exec": round(lo_t, 1),
+            "rows_per_sec_%dexec" % N_EXECUTORS_HI: round(hi_t, 1),
+            "scaling_efficiency_N_to_4N": round((hi_t / lo_t) / N_EXECUTORS_HI, 3),
+        }
+
+    topo4 = topology(int(os.environ.get("REDEYE_EXEC_CORES_MID", "4")))
+    topo8 = topology(int(os.environ.get("REDEYE_EXEC_CORES_WIDE", "8")))
 
     # --- per-query timings on a full-width session ---
     from redeye_spark.session import get_spark
@@ -253,12 +270,8 @@ def main() -> None:
         "rows_per_sec_%dexec" % N_EXECUTORS_HI: round(tput_hi, 1),
         "cores_per_executor": CORES_PER_EXECUTOR,
         "scaling_efficiency_N_to_4N": round(efficiency, 3),
-        "scaling_8core": {
-            "cores_per_executor": WIDE,
-            "rows_per_sec_1exec": round(tput_lo8, 1),
-            "rows_per_sec_%dexec" % N_EXECUTORS_HI: round(tput_hi8, 1),
-            "scaling_efficiency_N_to_4N": round(efficiency8, 3),
-        },
+        "scaling_4core": topo4,
+        "scaling_8core": topo8,
         "rows_err": r_hi["rows_err"],
     }))
 

@@ -1711,3 +1711,44 @@ FROM c
 
 QUERIES.update({"decode_image": q_decode_image})
 ORACLES.update({"decode_image": SQL_DECODE_IMAGE})
+
+
+def q_shipping_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape fact x fact INNER shuffle join (the companion to
+    order_priority_counts' semi-join): lineitem JOIN orders on orderkey
+    (MERGE hint — both sides fact-sized at scale), date-filtered on both
+    sides (filters push to both scans BEFORE the shuffle), then a
+    two-column aggregate and top-10 by revenue. Decimal sums for
+    cross-engine exactness; TakeOrderedAndProject for the limit."""
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01"))
+    l = li.filter(F.col("l_shipdate") >= F.lit("1996-01-01"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        o.join(l.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_REVENUE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate < TIMESTAMP '1996-01-01'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+QUERIES.update({"shipping_revenue": q_shipping_revenue})
+ORACLES.update({"shipping_revenue": SQL_SHIPPING_REVENUE})

@@ -229,3 +229,35 @@ def test_aqe_splits_skewed_shuffle_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Bucketing is the 100 TB shuffle-reuse story: two fact tables
+    bucketed by the join key co-locate, so the join plans with NO
+    Exchange on either side (scan -> sort -> merge). Gates that the
+    engine is configured to exploit it (bucketing enabled, bucket scan
+    not disabled by AQE) and that the layout actually removes both
+    exchanges that test_fact_fact_join_is_sort_merge shows for the
+    unbucketed layout."""
+    wh = str(tmp_path_factory.mktemp("warehouse"))  # external-table paths
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for name, df, key in [("b_orders", orders, "o_orderkey"), ("b_lineitem", li, "l_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+         .option("path", f"{wh}/{name}").saveAsTable(name))
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.hint("merge").join(bl, F.col("o_orderkey") == F.col("l_orderkey"))
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert "Bucketed: true" in plan, plan
+        # and it computes the same thing as the shuffled layout
+        n_bucketed = joined.count()
+        n_plain = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
