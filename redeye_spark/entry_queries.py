@@ -1752,3 +1752,129 @@ LIMIT 10
 
 QUERIES.update({"shipping_revenue": q_shipping_revenue})
 ORACLES.update({"shipping_revenue": SQL_SHIPPING_REVENUE})
+
+
+# ---------------------------------------------------------------------------
+# Round 3: deterministic splits/sampling, TF-IDF, decontamination
+# ---------------------------------------------------------------------------
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: assignment is a pure
+    function of (seed, doc_id) via shared-rule md5 buckets — stable
+    across runs, retries, cluster sizes, and input order, unlike
+    rand()-based randomSplit. The oracle rebuilds every assignment from
+    the same md5 hex digits."""
+    from .operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.train_val_test_split(docs).select("doc_id", "split")
+
+
+SQL_TRAIN_VAL_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source 20% sample (bucket keyed by
+    (source, doc_id), so draws are independent across strata but stable
+    under retries — the property sampleBy()'s Bernoulli draw lacks)."""
+    from .operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.stratified_sample(docs, fraction=0.2).select("doc_id", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE (strpos('0123456789abcdef', substr(md5('strat42:' || source || '|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(md5('strat42:' || source || '|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 51
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, ties broken by
+    term so the cut is total-ordered). Scores are rounded BEFORE the
+    rank window in both engines, so ordering can never diverge on float
+    noise."""
+    from .operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_op.top_tfidf_terms(docs, k=3)
+
+
+SQL_TFIDF_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (all sources but src0)
+    sharing any word-5-gram with the held-out eval set (source src0).
+    The eval gram set is explicitly broadcast — the 10^12-row corpus
+    streams through a map-side semi-join and never shuffles."""
+    from .operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.trim("text")
+    )
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    return dedup.contaminated_ids(train, eval_df, n=5)
+
+
+SQL_DECONTAMINATE = r"""
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+)
+SELECT DISTINCT g.doc_id
+FROM g JOIN (SELECT DISTINCT gram FROM g WHERE source = 'src0') e USING (gram)
+WHERE g.source <> 'src0'
+"""
+
+
+QUERIES.update({
+    "train_val_split": q_train_val_split,
+    "stratified_sample": q_stratified_sample,
+    "tfidf_terms": q_tfidf_terms,
+    "decontaminate": q_decontaminate,
+})
+ORACLES.update({
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "decontaminate": SQL_DECONTAMINATE,
+})

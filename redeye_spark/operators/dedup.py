@@ -547,3 +547,49 @@ def connected_components(
             break
         prev = cur
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram): distinct word-n-grams per doc; docs with < n words
+    contribute no rows (explode of the NULL array)."""
+    ws = F.split(F.col(text_col), r"\s+")
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(ws) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(ws) - n),
+                        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+                    )
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: ids of TRAIN docs sharing any word-
+    n-gram with any EVAL doc (the standard n-gram-overlap contamination
+    test run before training on web corpora).
+
+    Scale shape: eval sets are small (10^3-10^5 docs) next to a 10^12-row
+    corpus, so the distinct EVAL gram set is explicitly broadcast and the
+    train side streams through a map-side hash semi-join — the corpus is
+    scanned once, nothing about it shuffles, and the output is just the
+    contaminated id set (drop with a second anti-join, same shape as
+    drop_near_duplicates)."""
+    train_grams = _word_ngrams(train, id_col, text_col, n)
+    eval_grams = _word_ngrams(eval_df, id_col, text_col, n).select("gram").distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), on="gram", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )

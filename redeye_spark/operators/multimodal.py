@@ -154,18 +154,72 @@ def sample_frames(
 ) -> DataFrame:
     """'Video' frame sampling stand-in: slice the payload into fixed-size
     frames, keep every frame up to max_frames. Real frame decode would
-    replace the slicing, not the fan-out shape."""
+    replace the slicing, not the fan-out shape.
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            rows = []
-            for doc_id, p in zip(b["doc_id"], b[payload_col]):
-                if p is None:
-                    continue
-                raw = bytes(p)
-                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
-                    rows.append((doc_id, i, raw[i * every_n_bytes : (i + 1) * every_n_bytes]))
-            if rows:
-                yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+    Offset-vectorized over mapInArrow (the same flat-buffer technique as
+    functions/tokens.py): frame boundaries are pure arithmetic on the
+    Arrow binary offsets, the kept byte ranges are copied with O(rows)
+    numpy slice assignments, and the output binary column is built
+    directly from (offsets, data) buffers — zero per-frame Python, no
+    per-frame bytes objects. Null payloads emit no frames."""
+    import pyarrow as pa
 
-    return df.select("doc_id", payload_col).mapInPandas(fn, schema=FRAME_SCHEMA)
+    e = int(every_n_bytes)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index("doc_id"))
+            arr = rb.column(rb.schema.get_field_index(payload_col))
+            if not pa.types.is_binary(arr.type):
+                arr = arr.cast(pa.binary())
+            n = len(arr)
+            offs = np.frombuffer(arr.buffers()[1], np.int32)[
+                arr.offset : arr.offset + n + 1
+            ].astype(np.int64)
+            data = (
+                np.frombuffer(arr.buffers()[2], np.uint8)
+                if arr.buffers()[2] is not None
+                else np.empty(0, np.uint8)
+            )
+            lens = np.diff(offs)
+            if arr.null_count:
+                valid = ~pa.compute.is_null(arr).to_numpy(zero_copy_only=False)
+            else:
+                valid = np.ones(n, dtype=bool)
+            n_frames = np.where(
+                valid, np.minimum(max_frames, np.maximum(1, lens // e)), 0
+            ).astype(np.int64)
+            kept = np.minimum(n_frames * e, lens)  # bytes kept per row
+            total = int(n_frames.sum())
+            if total == 0:
+                continue
+
+            # gather kept prefixes into one contiguous output buffer
+            base = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(kept, out=base[1:])
+            out_data = np.empty(int(base[-1]), dtype=np.uint8)
+            for i in range(n):  # O(rows); per-byte work is the slice copy
+                if kept[i]:
+                    out_data[base[i] : base[i + 1]] = data[offs[i] : offs[i] + kept[i]]
+
+            # per-frame offsets: within a row, frame j ends at min((j+1)e, kept)
+            row_of = np.repeat(np.arange(n), n_frames)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_frames, out=starts[1:])
+            fi = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], n_frames)
+            ends = base[row_of] + np.minimum((fi + 1) * e, kept[row_of])
+            out_offs = np.empty(total + 1, dtype=np.int32)
+            out_offs[0] = 0
+            out_offs[1:] = ends
+            frames = pa.Array.from_buffers(
+                pa.binary(), total,
+                [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(out_data.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(row_of)), pa.array(fi.astype(np.int32)), frames],
+                names=["doc_id", "frame_idx", "frame_bytes"],
+            )
+
+    return df.select("doc_id", payload_col).mapInArrow(fn, schema=FRAME_SCHEMA)

@@ -1,0 +1,73 @@
+"""Deterministic corpus splitting / sampling for training pipelines.
+
+All split decisions hash the ROW KEY, never rand(): a row's assignment
+is a pure function of (seed, id), so splits are reproducible across
+runs, cluster sizes, and re-shuffles of the input — the property a
+train/val/test split must have at 10^12 rows, where "sample the same
+5% next month" cannot mean re-running Bernoulli sampling. The hash is
+md5 (not xxhash64) so the rule is recomputable in any SQL engine: the
+DuckDB oracles rebuild every assignment from the same hex digits.
+
+Bucket rule (shared cross-engine): bucket(id) = first two hex digits of
+md5('<kind><seed>:' || id) as an integer 0..255. Spark computes it with
+conv(); engines without conv() use strpos('0123456789abcdef', ...)
+digit arithmetic — same value.
+
+Scale shape: the bucket is a per-row projection (whole-stage codegen,
+no shuffle, no state); a split/sample is a FILTER on it, so it pushes
+into scans wherever the id column feeds a stored expression and costs
+nothing even at 100 TB. No sampleBy/rand anywhere (nondeterministic
+under retries: a recomputed task would re-draw its rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+N_BUCKETS = 256
+
+
+def hash_bucket(id_col: Column, kind: str, seed: int = 42) -> Column:
+    """Deterministic bucket 0..255 from md5 of the keyed id."""
+    key = F.concat(F.lit(f"{kind}{seed}:"), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 42,
+) -> DataFrame:
+    """Append a `split` column ('train'|'val'|'test') by bucket cut.
+
+    Cut points are floor(weight_prefix * 256), so realized fractions are
+    exact multiples of 1/256 — documented quantization, not sampling
+    noise. Every row is assigned (the last range is open-ended)."""
+    b = hash_bucket(F.col(id_col), "split", seed)
+    t_cut = int(weights[0] * N_BUCKETS)
+    v_cut = int((weights[0] + weights[1]) * N_BUCKETS)
+    split = (
+        F.when(b < t_cut, F.lit("train"))
+        .when(b < v_cut, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep rows whose bucket falls
+    under floor(fraction*256), with the bucket keyed by (stratum, id) so
+    the SAME id can land differently in different strata (independent
+    draws per stratum) but identically across runs. Unlike
+    df.sampleBy(), membership is stable under task retries and input
+    re-partitioning."""
+    key = F.concat(F.col(strata_col).cast("string"), F.lit("|"), F.col(id_col).cast("string"))
+    b = hash_bucket(key, "strat", seed)
+    return df.filter(b < int(fraction * N_BUCKETS))

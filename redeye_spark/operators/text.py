@@ -139,3 +139,41 @@ def fingerprint(col: Column) -> Column:
 
 def document_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def top_tfidf_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF (id, term, score,
+    rank): tf = in-doc occurrences (lowercased whitespace tokens),
+    idf = ln((N+1)/(df+1)) + 1, ties broken by term asc so the cut is
+    total-ordered and reproducible.
+
+    Scale shape: one explode -> two hash aggregates (tf keyed by
+    (doc, term), df keyed by term — both partial-aggregated map-side) ->
+    idf joined back on term (dimension-sized: the vocabulary, which AQE
+    broadcasts) -> per-doc top-k window. The window partitions by doc
+    id, so no single reducer sees more than one doc's terms."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(doc_freq, on="term").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+    )

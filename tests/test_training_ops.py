@@ -325,3 +325,106 @@ class TestConnectedComponents:
         full = {r["doc_id"]: r["component"]
                 for r in dedup.connected_components(pairs).collect()}
         assert set(full.values()) == {1}
+
+
+class TestSampling:
+    def test_split_is_input_order_invariant(self, spark, docs):
+        """The split of a given doc_id must not depend on partitioning or
+        row order — the reproducibility property rand()-based
+        randomSplit lacks."""
+        from redeye_spark.operators import sampling
+
+        a = {r["doc_id"]: r["split"]
+             for r in sampling.train_val_test_split(docs).collect()}
+        shuffled = docs.repartition(7).sortWithinPartitions(F.desc("doc_id"))
+        b = {r["doc_id"]: r["split"]
+             for r in sampling.train_val_test_split(shuffled).collect()}
+        assert a == b
+        # rough proportions at 500 docs (binomial: generous bands)
+        from collections import Counter
+        c = Counter(a.values())
+        assert 0.7 <= c["train"] / len(a) <= 0.9
+        assert c["train"] + c["val"] + c["test"] == len(a)
+
+    def test_split_partitions_the_corpus(self, spark, docs):
+        from redeye_spark.operators import sampling
+
+        out = sampling.train_val_test_split(docs)
+        assert out.count() == docs.count()
+        assert set(r["split"] for r in out.select("split").distinct().collect()) \
+            <= {"train", "val", "test"}
+
+    def test_stratified_sample_deterministic_and_stratified(self, spark, docs):
+        from redeye_spark.operators import sampling
+
+        a = sorted(r["doc_id"] for r in sampling.stratified_sample(docs, 0.2).collect())
+        b = sorted(r["doc_id"] for r in sampling.stratified_sample(docs, 0.2).collect())
+        assert a == b and 0 < len(a) < docs.count()
+        # monotone in fraction: smaller sample nests inside larger
+        small = set(r["doc_id"] for r in sampling.stratified_sample(docs, 0.1).collect())
+        assert small <= set(a)
+
+    def test_seed_changes_assignment(self, spark, docs):
+        from redeye_spark.operators import sampling
+
+        a = {r["doc_id"]: r["split"]
+             for r in sampling.train_val_test_split(docs, seed=1).collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in sampling.train_val_test_split(docs, seed=2).collect()}
+        assert a != b
+
+
+class TestDecontaminate:
+    def test_planted_overlap_found_and_clean_docs_kept(self, spark):
+        from redeye_spark.operators import dedup
+
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "totally different words here entirely unrelated"),
+             (3, "prefix alpha beta gamma delta epsilon suffix")],
+            ["doc_id", "text"],
+        )
+        ev = spark.createDataFrame(
+            [(100, "xx alpha beta gamma delta epsilon yy")], ["doc_id", "text"]
+        )
+        got = sorted(r["doc_id"] for r in
+                     dedup.contaminated_ids(train, ev, n=5).collect())
+        assert got == [1, 3]
+
+    def test_short_docs_never_contaminate(self, spark):
+        from redeye_spark.operators import dedup
+
+        train = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+        ev = spark.createDataFrame([(9, "alpha beta gamma")], ["doc_id", "text"])
+        assert dedup.contaminated_ids(train, ev, n=5).count() == 0
+
+
+class TestTfIdf:
+    def test_rare_term_outranks_common(self, spark):
+        from redeye_spark.operators import text as text_op
+
+        df = spark.createDataFrame(
+            [(1, "common zebra zebra common"),
+             (2, "common common filler filler"),
+             (3, "common filler other words")],
+            ["doc_id", "text"],
+        )
+        top = {(r["doc_id"], r["rank"]): r["term"]
+               for r in text_op.top_tfidf_terms(df, k=2).collect()}
+        # zebra: tf=2, df=1 -> 2*(ln(4/2)+1)=3.39 beats common: tf=2, df=3 -> 2.0
+        assert top[(1, 1)] == "zebra"
+
+
+class TestFrameSamplingEdges:
+    def test_null_and_short_payloads(self, spark):
+        from redeye_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [("a", b"0123456789"), ("b", None), ("c", b"xy")],
+            "doc_id string, payload binary",
+        )
+        got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame_bytes"])
+               for r in multimodal.sample_frames(df, every_n_bytes=4, max_frames=8).collect()}
+        # 'a': 10 bytes -> 2 full frames; 'b': none; 'c': shorter than a
+        # frame -> one frame of the whole payload
+        assert got == {("a", 0): b"0123", ("a", 1): b"4567", ("c", 0): b"xy"}
