@@ -1878,3 +1878,55 @@ ORACLES.update({
     "tfidf_terms": SQL_TFIDF_TERMS,
     "decontaminate": SQL_DECONTAMINATE,
 })
+
+
+def _grok_common_parts() -> tuple[str, list[str]]:
+    from .functions.grok import grok_to_regex
+
+    return grok_to_regex(
+        r"%{IPORHOST:remote_host} %{USER:ident} %{USER:user} "
+        r"\[%{HTTPDATE:ts}\] "
+        r'"%{WORD:method} %{NOTSPACE:path} %{NOTSPACE:protocol}" '
+        r"%{INT:status} %{NOTSPACE:bytes}"
+    )
+
+
+def q_grok_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-style extraction (the north_star names "regex/grok"
+    explicitly): a grok expression compiled to ONE engine-portable
+    anchored regex, evaluated entirely JVM-side as codegen
+    regexp_extract columns — the ad-hoc-format companion to the fixed
+    Common/Combined single-pass Arrow parser. Malformed lines (2% of
+    the corpus) surface as grok_match=false with empty fields; the
+    oracle runs the IDENTICAL compiled regex through DuckDB's RE2."""
+    from .functions.grok import grok_extract
+
+    lines = _spark_lines(spark, sf_dir)
+    pattern = (
+        r"%{IPORHOST:remote_host} %{USER:ident} %{USER:user} "
+        r"\[%{HTTPDATE:ts}\] "
+        r'"%{WORD:method} %{NOTSPACE:path} %{NOTSPACE:protocol}" '
+        r"%{INT:status} %{NOTSPACE:bytes}"
+    )
+    return grok_extract(lines, pattern, keep=["doc_id"])
+
+
+def _grok_oracle_sql() -> str:
+    regex, fields = _grok_common_parts()
+    esc = regex.replace("'", "''")
+    cols = ",\n       ".join(
+        f"regexp_extract(line, '{esc}', {i + 1}) AS {f}" for i, f in enumerate(fields)
+    )
+    return f"""
+WITH {_oracle_base()}
+SELECT doc_id,
+       {cols},
+       regexp_matches(line, '{esc}') AS grok_match
+FROM base
+"""
+
+
+SQL_GROK_COMMON = _grok_oracle_sql()
+
+QUERIES.update({"grok_common": q_grok_common})
+ORACLES.update({"grok_common": SQL_GROK_COMMON})

@@ -1,0 +1,89 @@
+"""Grok-style pattern extraction, compiled to plain regex and executed
+JVM-side (whole-stage codegen `regexp_extract` — no Python anywhere).
+
+Grok is the Logstash pattern language the reference's ecosystem speaks:
+`%{NAME:field}` references a library pattern and captures it as a
+field; `%{NAME}` matches without capturing. This module compiles a grok
+expression to ONE anchored Java/RE2-compatible regex (sub-patterns use
+only non-capturing groups, so capture group i+1 == field i) and
+projects one column per field plus a `grok_match` flag.
+
+The pattern library sticks to constructs with identical semantics in
+Java regex, RE2, and DuckDB (no backreferences, no lookaround), so a
+grok extraction is DuckDB-oracle-checkable with the same compiled
+regex — the `grok_common` entry does exactly that.
+
+Cost model: k captured fields = k `regexp_extract` calls per row (the
+JRE caches the compiled Pattern per task; each call re-runs the match).
+That is the right trade for ad-hoc formats — fully codegen, zero
+Python exchange. The HOT path (the reference's fixed Common/Combined
+formats) stays on the single-pass RE2-vectorized Arrow parser in
+functions/logparse.py, which matches each line exactly once.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Library patterns: engine-portable subset (Java regex == RE2 == DuckDB
+# on ASCII input; no capture groups allowed inside).
+GROK_PATTERNS: dict[str, str] = {
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"[a-zA-Z0-9._-]+",
+    "IPORHOST": r"[a-zA-Z0-9._-]+",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "QUOTEDSTRING": r'"[^"]*"',
+    "LOGLEVEL": r"(?:DEBUG|INFO|WARN|ERROR|FATAL|TRACE)",
+}
+
+_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile a grok expression to (anchored_regex, field_names).
+
+    `%{NAME:field}` becomes a capturing group, `%{NAME}` a non-capturing
+    one; everything else passes through verbatim (callers regex-escape
+    their own literals, as in grok)."""
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        if name not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        body = GROK_PATTERNS[name]
+        if field:
+            fields.append(field)
+            return f"({body})"
+        return f"(?:{body})"
+
+    return "^" + _REF.sub(sub, pattern) + "$", fields
+
+
+def grok_extract(
+    df: DataFrame, pattern: str, line_col: str = "line", keep: list[str] | None = None
+) -> DataFrame:
+    """Project one string column per grok field plus `grok_match`.
+
+    Non-matching lines get grok_match=false and empty-string fields
+    (regexp_extract's no-match value — identical in DuckDB), so error
+    routing stays a filter, exactly like the main parser's taxonomy."""
+    regex, fields = grok_to_regex(pattern)
+    line = F.col(line_col)
+    cols: list[Column] = [
+        F.regexp_extract(line, regex, i + 1).alias(f) for i, f in enumerate(fields)
+    ]
+    out = df.select("*", *cols, line.rlike(regex).alias("grok_match"))
+    if keep is not None:
+        out = out.select(*keep, *fields, "grok_match")
+    return out

@@ -297,3 +297,32 @@ def test_large_u64_exact_with_nulls_in_batch():
         assert pd.isna(out["content_length"].iloc[1]), impl.__name__
         assert out["status_code"].iloc[2] == big, impl.__name__
         assert out["error_kind"].isna().all(), impl.__name__
+
+
+class TestGrok:
+    def test_compile_captures_and_noncaptures(self):
+        from redeye_spark.functions.grok import grok_to_regex
+
+        regex, fields = grok_to_regex(r"%{WORD:a} %{INT} %{NOTSPACE:b}")
+        assert fields == ["a", "b"]
+        assert regex == r"^(\w+) (?:[+-]?\d+) (\S+)$"
+
+    def test_unknown_pattern_raises(self):
+        from redeye_spark.functions.grok import grok_to_regex
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown grok pattern"):
+            grok_to_regex(r"%{NOPE:x}")
+
+    def test_extract_fields_and_match_flag(self, spark):
+        from redeye_spark.functions.grok import grok_extract
+
+        df = spark.createDataFrame(
+            [(1, "GET /index.html 200"), (2, "garbage !!")], ["doc_id", "line"]
+        )
+        got = {r["doc_id"]: r for r in grok_extract(
+            df, r"%{WORD:method} %{NOTSPACE:path} %{INT:status}",
+            keep=["doc_id"]).collect()}
+        assert got[1]["method"] == "GET" and got[1]["status"] == "200"
+        assert got[1]["grok_match"] is True
+        assert got[2]["grok_match"] is False and got[2]["method"] == ""

@@ -261,3 +261,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set must broadcast: the 10^12-row train corpus
+    streams through a map-side LeftSemi with ZERO exchanges."""
+    from redeye_spark import entry_queries as EQ
+
+    p = plan_of(EQ.q_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_split_and_sample_are_shuffle_free_projections(spark):
+    """Deterministic split/sample must stay a codegen projection/filter —
+    any Exchange here would mean the assignment reshuffles the corpus."""
+    from redeye_spark import entry_queries as EQ
+
+    for q in (EQ.q_train_val_split, EQ.q_stratified_sample):
+        p = plan_of(q(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in p, p
