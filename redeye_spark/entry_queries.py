@@ -916,9 +916,13 @@ SQL_IVF_TOPK = _ivf_oracle_sql()
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trim matches the oracle's tokenization at the edges (corpus text
+    # carries no edge whitespace today; this keeps the pair robust)
     from .operators import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.trim("text")
+    )
     return dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
 
 

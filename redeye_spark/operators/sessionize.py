@@ -57,8 +57,8 @@ SESSION_OUT_SCHEMA = T.StructType(
 )
 
 
-def streaming_sessionize(grouped, gap_minutes: int = 30):
-    """State function for GroupedData.applyInPandasWithState.
+def session_update(key, pdfs, state, gap_minutes: int = 30):
+    """applyInPandasWithState update fn (importable + picklable).
 
     Emits a row per CLOSED session (gap exceeded within the batch or
     state timeout fired). Usage:
@@ -71,12 +71,6 @@ def streaming_sessionize(grouped, gap_minutes: int = 30):
               stateStructType=SESSION_STATE_SCHEMA,
               outputMode="append",
               timeoutConf="ProcessingTimeTimeout")
-    """
-    raise NotImplementedError("use session_update with applyInPandasWithState")
-
-
-def session_update(key, pdfs, state, gap_minutes: int = 30):
-    """applyInPandasWithState update fn (importable + picklable).
 
     Vectorized: the batch's timestamps are sorted once and split into
     gap-separated segments with numpy diff/nonzero — per-event work never

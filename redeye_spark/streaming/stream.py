@@ -114,3 +114,38 @@ def start_windowed_counts(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_path: str,
+    checkpoint: str,
+    cfg: PipelineConfig | None = None,
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("doc_id",),
+    trigger_available_now: bool = True,
+):
+    """Streaming exact dedup with BOUNDED state: the same parse/enrich
+    plan, then a watermark on event time and
+    dropDuplicatesWithinWatermark on the key — duplicates arriving
+    within the watermark horizon are dropped across micro-batches, and
+    state holds only the keys inside the horizon (the unbounded
+    dropDuplicates() would grow state forever on an infinite stream).
+    This is the streaming face of operators/dedup.exact_dedup: dedup a
+    training-data firehose at ingest instead of in a batch sweep."""
+    raw = read_stream(spark, input_path)
+    tagged = build_tagged(spark, raw, cfg or PipelineConfig())
+    ok = tagged.filter(F.col("timestamp").isNotNull())
+    deduped = ok.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -62,3 +62,30 @@ def test_windowed_counts_stream(spark, source_dir, tmp_path_factory):
     total = got.agg(F.sum("n")).collect()[0][0]
     assert total is not None and total > 0
     assert set(got.columns) == {"bucket", "sink", "status_class", "method", "source", "n"}
+
+
+def test_streaming_dedup_within_watermark(spark, source_dir, tmp_path_factory):
+    """Duplicates spread across micro-batches must collapse to one row
+    per doc_id while state stays watermark-bounded."""
+    base, pdf = source_dir
+    dup_base = str(tmp_path_factory.mktemp("dedup_src"))
+    src = spark.read.parquet(base)
+    # duplicate a third of the rows and scatter them over several files
+    dupes = src.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0)
+    src.unionByName(dupes).repartition(6).write.mode("overwrite").parquet(dup_base)
+
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    q = stream_mod.start_dedup_stream(
+        spark, dup_base, out + "/data", out + "/ckpt",
+        cfg=PipelineConfig(fmt=FORMAT_COMBINED),
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out + "/data")
+    # one row per parseable doc_id (error rows carry NULL timestamps and
+    # are excluded before the dedup)
+    from redeye_spark.plans.pipeline import build_tagged
+    ok_ids = (build_tagged(spark, src, PipelineConfig(fmt=FORMAT_COMBINED))
+              .filter(F.col("timestamp").isNotNull()).select("doc_id").distinct().count())
+    assert got.count() == ok_ids
+    assert got.select("doc_id").distinct().count() == ok_ids
