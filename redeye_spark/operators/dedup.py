@@ -344,6 +344,7 @@ def cosine_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     max_bucket: int | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine) at
     scale: random-hyperplane signatures -> band-bucket self-join (same
@@ -366,6 +367,16 @@ def cosine_lsh_pairs(
     undersized r would silently drop EVERY bucket at scale and return no
     pairs. Set it only to shed known-degenerate keys (e.g. all-zero
     vectors concentrating in one bucket) once r is sized to the corpus.
+
+    multiprobe=True additionally probes every 1-bit-flip neighbor of
+    each band value on ONE join side (a pure JVM explode over r
+    synthesized values — the signature UDF is untouched), so two rows
+    collide when a band differs by at most one sign bit. Per-pair
+    collision probability rises from p^r to p^r + r*p^(r-1)*(1-p): with
+    p = 1 - acos(c)/pi, a c=0.9 pair under r=12,b=2 goes from ~28% per
+    band to ~65% — the standard recall/cost dial when adding bands
+    (more shuffle rows EVERYWHERE) is worse than widening probes on the
+    build side (r+1 x rows on one side only).
     """
     banded = hyperplane_bands(df, id_col, vec_col, bits_per_band, bands, seed)
     if max_bucket is not None:
@@ -377,8 +388,21 @@ def cosine_lsh_pairs(
             on=["band_idx", "band_val"],
             how="inner",
         )
+    if multiprobe:
+        probes = F.array(
+            F.col("band_val"),
+            *[
+                F.col("band_val").bitwiseXOR(F.lit(1 << p))
+                for p in range(bits_per_band)
+            ],
+        )
+        probed = banded.select(
+            id_col, "band_idx", F.explode(probes).alias("band_val")
+        )
+    else:
+        probed = banded
     l = banded.select("band_idx", "band_val", F.col(id_col).alias("id_a"))
-    r = banded.select("band_idx", "band_val", F.col(id_col).alias("id_b"))
+    r = probed.select("band_idx", "band_val", F.col(id_col).alias("id_b"))
     cand = (
         l.join(r, on=["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -97,3 +97,12 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema is not None
+
+
+def test_every_query_carries_an_oracle():
+    """Round 3 reached 100% oracle coverage; this pins it — a new
+    queries() entry without an oracle_sql() twin (or vice versa) fails
+    here instead of silently downgrading to the driver's weak
+    rows-only check."""
+    q, o = set(entry_mod.queries()), set(entry_mod.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))

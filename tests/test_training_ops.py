@@ -428,3 +428,40 @@ class TestFrameSamplingEdges:
         # 'a': 10 bytes -> 2 full frames; 'b': none; 'c': shorter than a
         # frame -> one frame of the whole payload
         assert got == {("a", 0): b"0123", ("a", 1): b"4567", ("c", 0): b"xy"}
+
+
+class TestMultiprobeLSH:
+    def test_multiprobe_improves_recall_and_stays_exact(self, spark):
+        """Under a deliberately low-recall config (2 bands of 12 bits),
+        1-bit-flip probing must recover strictly more of the exact pair
+        set while emitting ONLY true pairs (cosine is re-verified
+        exactly for candidates, so precision is structural)."""
+        import numpy as np
+        from redeye_spark.operators import dedup
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(30, 32))
+        rows, exact = [], set()
+        vid = 0
+        for i in range(30):
+            a = base[i] / np.linalg.norm(base[i])
+            # |noise| ~ (0.04+0.002i)*sqrt(32): pair cosines spread ~0.85-0.99
+            noise = rng.normal(size=32) * (0.04 + 0.002 * i)
+            b = a + noise
+            b = b / np.linalg.norm(b)
+            rows.append((vid, a.tolist())); rows.append((vid + 1, b.tolist()))
+            if float(a @ b) >= 0.9:
+                exact.add((vid, vid + 1))
+            vid += 2
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        kw = dict(threshold=0.9, bits_per_band=12, bands=2, seed=5)
+        single = set(map(tuple, (r[:2] for r in dedup.cosine_lsh_pairs(df, **kw)
+                                 .select("id_a", "id_b").collect())))
+        multi = set(map(tuple, (r[:2] for r in dedup.cosine_lsh_pairs(df, multiprobe=True, **kw)
+                                .select("id_a", "id_b").collect())))
+        assert exact, "test corpus must contain true pairs"
+        assert single <= multi  # probing only ADDS candidates
+        assert multi <= exact   # every emitted pair is exactly verified
+        assert len(multi) > len(single), (len(single), len(multi), len(exact))
+        assert len(multi) / len(exact) >= 0.6
