@@ -57,6 +57,9 @@ TIMED_QUERIES = [
     "lineitem_pricing",
     "nation_revenue",
     "last_event_per_user",
+    # round 3: the fact x fact shuffle-join shapes
+    "order_priority_counts",
+    "shipping_revenue",
 ]
 
 

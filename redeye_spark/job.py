@@ -36,6 +36,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     fmt = p.add_mutually_exclusive_group(required=True)
     fmt.add_argument("--common-format", action="store_true", help="parse NCSA Common Log Format")
     fmt.add_argument("--combined-format", action="store_true", help="parse NCSA Combined Log Format")
+    fmt.add_argument(
+        "--grok", metavar="PATTERN", default=None,
+        help="parse an ad-hoc format with a grok expression "
+             "(%%{NAME:field} references, functions/grok.py): detokenize, "
+             "then extract fields JVM-side; rows that do not match land "
+             "with grok_match=false instead of the fixed-format taxonomy",
+    )
     p.add_argument("--input", required=True, help="input table path (tokenized sequences)")
     p.add_argument("--output", required=True, help="output base dir / catalog namespace")
     p.add_argument("--parallelism", type=int, default=None, help="explicit repartition width before the parse UDF")
@@ -67,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.chunk_by and not args.checkpoint_dir:
         p.error("--chunk-by requires --checkpoint-dir (chunking is the checkpoint unit)")
+    if args.grok and args.checkpoint_dir:
+        p.error("--grok does not support --checkpoint-dir (chunked resume is "
+                "a fixed-format pipeline feature)")
     from redeye_spark.session import get_spark
 
     spark = get_spark("redeye-spark-job", master=args.master)
@@ -84,6 +94,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     io = resolve_io(spark, args.output)
     raw = spark.read.parquet(args.input)
+
+    if args.grok:
+        from pyspark.sql import functions as F
+
+        from redeye_spark.functions.grok import grok_extract
+        from redeye_spark.operators.tokenize_op import detokenize_lines
+
+        lines = detokenize_lines(raw)
+        if args.parallelism:
+            lines = lines.repartition(args.parallelism)
+        extracted = grok_extract(lines, args.grok, keep=["doc_id", "source"])
+        io.write(extracted, "events_grok")
+        back = io.read(spark, "events_grok")
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("grok_match"), 1)).alias("ok"),
+        ).collect()[0]
+        stats = {"rows_in": agg["n"], "rows_ok": agg["ok"],
+                 "rows_err": agg["n"] - agg["ok"]}
+        if stats["rows_err"]:
+            print(f"warning: {stats['rows_err']} lines did not match the grok pattern",
+                  file=sys.stderr)
+        print(json.dumps(stats))
+        return 0
 
     if args.checkpoint_dir:
         if not args.resume:

@@ -42,3 +42,29 @@ def tokenize_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=RAW_SEQUENCES)
+
+
+def detokenize_lines(df: DataFrame, keep: tuple[str, ...] = ("doc_id", "source")) -> DataFrame:
+    """(doc_id, tokens, ..., source) -> (<keep...>, line): the standalone
+    inverse of tokenize_lines, for consumers that want raw lines WITHOUT
+    the fixed-format parser (e.g. the --grok CLI path, which extracts
+    fields JVM-side after this single Python exchange). Byte work is the
+    same zero-copy Arrow StringArray construction the parse fast path
+    uses (functions.tokens.detokenize)."""
+    from pyspark.sql import types as T
+
+    from ..functions.tokens import detokenize
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep] + [T.StructField("line", T.StringType(), False)]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            out = b[list(keep)].reset_index(drop=True)
+            out["line"] = detokenize(b["tokens"]).reset_index(drop=True)
+            yield out
+
+    return df.select(*keep, "tokens").mapInPandas(fn, schema=out_schema)

@@ -70,3 +70,30 @@ def test_chunk_by_requires_checkpoint_dir(capsys):
     with pytest.raises(SystemExit):
         job_mod.main(["--combined-format", "--input", "i", "--output", "o",
                       "--chunk-by", "source"])
+
+
+def test_grok_mode_extracts_fields(spark, raw_dir, capsys):
+    """--grok parses an ad-hoc format: detokenize -> JVM regexp_extract
+    columns; non-matching lines surface as grok_match=false, and the
+    stats line counts them as rows_err."""
+    pattern = (r"%{IPORHOST:remote_host} %{USER:ident} %{USER:user} "
+               r"\[%{HTTPDATE:ts}\] "
+               r'"%{WORD:method} %{NOTSPACE:path} %{NOTSPACE:protocol}" '
+               r"%{INT:status} %{NOTSPACE:bytes} "
+               r"%{QUOTEDSTRING:referer} %{QUOTEDSTRING:agent}")
+    argv = ["--grok", pattern, "--input", raw_dir + "/raw",
+            "--output", raw_dir + "/grok_out"]
+    assert job_mod.main(argv) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_in"] == 2000
+    assert stats["rows_ok"] > 1800  # combined-format corpus, ~0 malformed at seed 11
+    back = spark.read.parquet(raw_dir + "/grok_out/events_grok")
+    row = back.filter("grok_match").first()
+    assert row["method"] in {"GET", "POST", "PUT", "DELETE", "HEAD"}
+    assert row["status"].isdigit()
+
+
+def test_grok_rejects_checkpoint_dir(raw_dir):
+    with pytest.raises(SystemExit):
+        job_mod.main(["--grok", "%{WORD:a}", "--input", raw_dir + "/raw",
+                      "--output", raw_dir + "/x", "--checkpoint-dir", raw_dir + "/ck"])
