@@ -67,7 +67,17 @@ def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
             return f"({body})"
         return f"(?:{body})"
 
-    return "^" + _REF.sub(sub, pattern) + "$", fields
+    compiled = _REF.sub(sub, pattern)
+    if "%{" in compiled:
+        # a reference _REF could not parse (e.g. %{WORD:status-code}) would
+        # otherwise pass through verbatim and blow up as an illegal Java
+        # regex deep inside an executor — reject it here with the name
+        bad = compiled[compiled.index("%{"):].split("}")[0] + "}"
+        raise ValueError(
+            f"malformed grok reference {bad!r}: use %{{NAME}} or "
+            "%{NAME:field} with \\w+ names"
+        )
+    return "^" + compiled + "$", fields
 
 
 def grok_extract(
@@ -79,6 +89,14 @@ def grok_extract(
     (regexp_extract's no-match value — identical in DuckDB), so error
     routing stays a filter, exactly like the main parser's taxonomy."""
     regex, fields = grok_to_regex(pattern)
+    clash = (set(fields) | {"grok_match"}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"grok field(s) {sorted(clash)} collide with input columns — "
+            "rename the capture (e.g. %{WORD:line2}) or drop the column first"
+        )
+    if len(set(fields)) != len(fields):
+        raise ValueError(f"duplicate grok field names: {fields}")
     line = F.col(line_col)
     cols: list[Column] = [
         F.regexp_extract(line, regex, i + 1).alias(f) for i, f in enumerate(fields)

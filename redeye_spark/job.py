@@ -77,6 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.grok and args.checkpoint_dir:
         p.error("--grok does not support --checkpoint-dir (chunked resume is "
                 "a fixed-format pipeline feature)")
+    if args.grok and args.json_sink:
+        p.error("--grok does not support --json-sink (the Logstash JSON "
+                "contract is defined by the fixed-format parsers)")
     from redeye_spark.session import get_spark
 
     spark = get_spark("redeye-spark-job", master=args.master)

@@ -199,8 +199,11 @@ def minhash_lsh_pairs(
 
 def _simhash_tokens(text_col: str) -> Column:
     """Non-empty whitespace tokens — the shared tokenization both engines
-    reproduce (regexp split on \\s+, empties dropped)."""
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    reproduce (text.ws_tokens: regexp split on \\s+, empties dropped,
+    NULL-safe so NULL-text docs keep their simhash=0 row)."""
+    from .text import ws_tokens
+
+    return ws_tokens(text_col)
 
 
 def simhash_signatures(
@@ -481,7 +484,9 @@ def ngram_jaccard_pairs(
     # explode of a NULL array emits no rows) — without it, sequence(0, 0)
     # yields one sub-n-word "gram" per short doc, which the exact
     # generate_series-based oracle never produces.
-    ws = F.split(F.col(text_col), r"\s+")
+    from .text import ws_tokens
+
+    ws = ws_tokens(text_col)
     grams = df.select(
         F.col(id_col),
         *( [F.col(group_col)] if group_col else [] ),
@@ -574,9 +579,13 @@ def connected_components(
 
 
 def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, gram): distinct word-n-grams per doc; docs with < n words
-    contribute no rows (explode of the NULL array)."""
-    ws = F.split(F.col(text_col), r"\s+")
+    """(id, gram): distinct word-n-grams per doc over the canonical
+    tokenizer (empty edge tokens dropped — an edge-whitespace doc must
+    not turn an n-1-word overlap into an n-gram match); docs with < n
+    words contribute no rows (explode of the NULL array)."""
+    from .text import ws_tokens
+
+    ws = ws_tokens(text_col)
     return df.select(
         F.col(id_col),
         F.explode(

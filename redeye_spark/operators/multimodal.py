@@ -199,6 +199,13 @@ def sample_frames(
             # gather kept prefixes into one contiguous output buffer
             base = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(kept, out=base[1:])
+            if base[-1] > np.iinfo(np.int32).max:
+                # Arrow binary arrays carry int32 offsets; silent wraparound
+                # here would corrupt frame boundaries, so refuse loudly
+                raise ValueError(
+                    f"frame batch keeps {int(base[-1])} bytes > int32 offset "
+                    "range; lower spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             out_data = np.empty(int(base[-1]), dtype=np.uint8)
             for i in range(n):  # O(rows); per-byte work is the slice copy
                 if kept[i]:

@@ -20,6 +20,18 @@ STOPWORDS = {
 }
 
 
+def ws_tokens(text: str | Column) -> Column:
+    """Canonical whitespace tokenizer shared by simhash, word-n-grams,
+    decontamination, and TF-IDF: split on \\s+, drop empty tokens (which
+    \\s+ leaves at whitespace edges), NULL-safe (NULL text -> zero tokens,
+    never a NULL array — size()/explode() on a NULL array silently drop
+    rows, which is how NULL-text docs once vanished from simhash)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
 def words(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
@@ -158,9 +170,7 @@ def top_tfidf_terms(
 
     toks = df.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
-        ).alias("term"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

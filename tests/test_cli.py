@@ -97,3 +97,9 @@ def test_grok_rejects_checkpoint_dir(raw_dir):
     with pytest.raises(SystemExit):
         job_mod.main(["--grok", "%{WORD:a}", "--input", raw_dir + "/raw",
                       "--output", raw_dir + "/x", "--checkpoint-dir", raw_dir + "/ck"])
+
+
+def test_grok_rejects_json_sink(raw_dir):
+    with pytest.raises(SystemExit):
+        job_mod.main(["--grok", "%{WORD:a}", "--input", raw_dir + "/raw",
+                      "--output", raw_dir + "/x", "--json-sink"])

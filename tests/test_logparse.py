@@ -326,3 +326,20 @@ class TestGrok:
         assert got[1]["method"] == "GET" and got[1]["status"] == "200"
         assert got[1]["grok_match"] is True
         assert got[2]["grok_match"] is False and got[2]["method"] == ""
+
+    def test_field_collision_rejected(self, spark):
+        from redeye_spark.functions.grok import grok_extract
+
+        import pytest as _pytest
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "line"])
+        with _pytest.raises(ValueError, match="collide with input columns"):
+            grok_extract(df, r"%{WORD:line}")
+        with _pytest.raises(ValueError, match="duplicate grok field"):
+            grok_extract(df, r"%{WORD:a} %{WORD:a}")
+
+    def test_malformed_reference_rejected(self):
+        from redeye_spark.functions.grok import grok_to_regex
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="malformed grok reference"):
+            grok_to_regex(r"%{WORD:status-code} tail")

@@ -465,3 +465,24 @@ class TestMultiprobeLSH:
         assert multi <= exact   # every emitted pair is exactly verified
         assert len(multi) > len(single), (len(single), len(multi), len(exact))
         assert len(multi) / len(exact) >= 0.6
+
+
+class TestReviewRegressions:
+    """Round-3 code-review findings, pinned."""
+
+    def test_simhash_keeps_null_text_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, None), (3, "   ")],
+            "doc_id long, text string",
+        )
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in dedup.simhash_signatures(df).collect()}
+        assert set(sigs) == {1, 2, 3}       # NULL-text doc must not vanish
+        assert sigs[2] == 0 and sigs[3] == 0  # both degenerate -> 0
+
+    def test_edge_whitespace_is_not_contamination(self, spark):
+        """A leading-whitespace empty token must not turn an (n-1)-word
+        overlap into an n-gram match."""
+        train = spark.createDataFrame([(1, "\ta b c d tail")], ["doc_id", "text"])
+        ev = spark.createDataFrame([(9, " a b c d other")], ["doc_id", "text"])
+        assert dedup.contaminated_ids(train, ev, n=5).count() == 0
