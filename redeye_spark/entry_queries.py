@@ -1934,3 +1934,287 @@ SQL_GROK_COMMON = _grok_oracle_sql()
 
 QUERIES.update({"grok_common": q_grok_common})
 ORACLES.update({"grok_common": SQL_GROK_COMMON})
+
+
+# ---------------------------------------------------------------------------
+# Round 3b: as-of join, range join, multi-way join, chunking, hopping windows
+# ---------------------------------------------------------------------------
+
+def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every event picks up the latest order
+    of the same user placed at-or-before the event time — the temporal
+    enrichment shape Spark has no native operator for. Implemented as
+    union + running last(IGNORE NULLS) window (operators/asof.py): ONE
+    exchange, no row amplification, vs the naive range-join that
+    shuffles |events| x orders-per-user rows (the oracle does exactly
+    that, as ground truth). Ties broken by highest orderkey; users with
+    no prior order stay NULL (left semantics)."""
+    from .operators.asof import asof_join
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+    out = asof_join(
+        ev, od,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["last_orderkey", "last_totalprice"],
+        tie_col="last_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "last_orderkey",
+        "last_totalprice",
+    )
+
+
+SQL_ASOF_LAST_ORDER = """
+WITH m AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       m.o_orderkey AS last_orderkey, m.o_totalprice AS last_totalprice
+FROM events e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+"""
+
+
+def q_value_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range join: events bucketed by which [lo, hi) band
+    contains `value` (latency-tier shape). The band dim is broadcast, so
+    the non-equi join is a map-side BroadcastNestedLoopJoin — no
+    shuffle of the fact stream, no cartesian exchange (which is what an
+    unhinted non-equi join degenerates to). min/max are raw parquet
+    doubles (no arithmetic), bit-exact across engines."""
+    from .operators.enrich import range_enrich
+
+    _utc(spark)
+    bands = spark.createDataFrame(
+        [("micro", 0.0, 10.0), ("small", 10.0, 25.0), ("mid", 25.0, 50.0),
+         ("large", 50.0, 100.0), ("huge", 100.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        range_enrich(ev, bands, "value")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+SQL_VALUE_BAND_COUNTS = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('micro', 0.0, 10.0), ('small', 10.0, 25.0), ('mid', 25.0, 50.0),
+         ('large', 50.0, 100.0), ('huge', 100.0, 1e9)
+)
+SELECT band, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape multi-way join — the mixed-strategy plan a 100 TB
+    star query needs: lineitem JOIN orders is the one fact x fact edge
+    (MERGE-hinted sort-merge), every dimension edge (customer, and the
+    supplier->nation->region chain) is an explicit broadcast hash join,
+    including the non-key c_nationkey = s_nationkey condition that makes
+    Q5 famous. Date filter pushes to the orders scan, r_name filter
+    prunes the dim chain before broadcast. Decimal revenue for
+    cross-engine exactness."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    dim = supplier.join(
+        F.broadcast(
+            nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document's whitespace tokens split
+    into 64-token blocks with stride 48 (16-token overlap) — the
+    fixed-length training-block transform. Pure codegen
+    (explode(sequence) + slice, operators/sequences.py::chunk_tokens):
+    no shuffle, no Python; amplification equals output size."""
+    from .operators import sequences
+    from .operators.text import ws_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", ws_tokens("text").alias("tokens")
+    )
+    out = sequences.chunk_tokens(docs, "tokens", block=64, stride=48)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tok"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+SQL_CHUNK_TOKENS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ws
+  FROM documents
+),
+sized AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0)
+SELECT doc_id,
+       i AS chunk_idx,
+       len(ws[i*48+1 : least(i*48+64, n)]) AS n_tok,
+       array_to_string(ws[i*48+1 : least(i*48+64, n)], ' ') AS chunk_text
+FROM sized,
+     UNNEST(generate_series(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS t(i)
+"""
+
+
+def q_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window counts (1h window, 30min slide — every event in
+    exactly two windows): the overlapping-window aggregate, computed
+    with F.window so the 2x row replication happens inside the map-side
+    partial aggregate and never crosses the shuffle."""
+    from .operators import aggregate as agg
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = agg.hopping_counts(ev, "ts", ["event_type"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start_str"),
+        "event_type",
+        "n",
+    )
+
+
+SQL_HOPPING_COUNTS = """
+WITH s AS (
+  SELECT event_type,
+         make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800)
+                        * 1000000) AS wstart
+  FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS t(k)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start_str,
+       event_type, COUNT(*) AS n
+FROM s
+GROUP BY wstart, event_type
+"""
+
+
+def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning (curriculum-bucket shape): ntile(4) per
+    event_type over a deterministic (value, event_id) order, then
+    per-bin count and exact value range. This is the exact-sort path —
+    one reducer per event_type holds that type's full order, fine for
+    bounded type cardinality; the sketch path for unbounded groups is
+    latency_percentiles_approx. min/max are raw parquet doubles,
+    bit-exact across engines."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+SQL_VALUE_QUARTILES = """
+WITH q AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value ASC, event_id ASC) AS quartile
+  FROM events
+)
+SELECT event_type, quartile, COUNT(*) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM q
+GROUP BY event_type, quartile
+"""
+
+
+QUERIES.update({
+    "asof_last_order": q_asof_last_order,
+    "value_band_counts": q_value_band_counts,
+    "regional_revenue": q_regional_revenue,
+    "chunk_tokens": q_chunk_tokens,
+    "hopping_counts": q_hopping_counts,
+    "value_quartiles": q_value_quartiles,
+})
+ORACLES.update({
+    "asof_last_order": SQL_ASOF_LAST_ORDER,
+    "value_band_counts": SQL_VALUE_BAND_COUNTS,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
+    "chunk_tokens": SQL_CHUNK_TOKENS,
+    "hopping_counts": SQL_HOPPING_COUNTS,
+    "value_quartiles": SQL_VALUE_QUARTILES,
+})

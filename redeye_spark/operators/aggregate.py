@@ -47,3 +47,33 @@ def salted_counts(
         .agg(F.count(F.lit(1)).alias("_partial_n"))
     )
     return partial.groupBy("sink", "bucket", *AGG_KEYS).agg(F.sum("_partial_n").alias("n"))
+
+
+def hopping_counts(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Overlapping (hopping) time-window counts — the batch twin of the
+    streaming windowed aggregation: each row lands in window/slide
+    windows (e.g. two for 1h/30m), counted per (window, keys).
+
+    `F.window` replicates each row window/slide times *inside the
+    partial (map-side) aggregate*, so the shuffle carries only the
+    already-combined (window, keys) partial counts — the amplification
+    factor never crosses the exchange. That is the property that keeps
+    hopping windows viable at 100 TB; materializing the replicated rows
+    and then grouping would double (or worse) the shuffle volume.
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n",
+        )
+    )

@@ -1,0 +1,126 @@
+"""Distributed as-of (point-in-time) join.
+
+For every left row, attach the payload of the single most recent right
+row with the same key and `right_ts <= left_ts` (inclusive by default) —
+the standard temporal-enrichment join (latest config version at event
+time, latest order before a session, last quote at trade time) that
+Spark's join operators don't express directly and a naive range join
+(`l.key = r.key AND r.ts <= l.ts` + row_number) explodes into
+O(left x right-per-key) intermediate rows.
+
+Spark-first implementation — the union + running-window trick:
+
+    union(left tagged side=1, right tagged side=0)
+      -> window PARTITION BY key ORDER BY (ts, side, tie)
+         last(payload IGNORE NULLS) over rows UNBOUNDED PRECEDING..CURRENT
+      -> keep side=1 rows
+
+One exchange total (both sides hash-partitioned by key in the same
+shuffle), one within-partition sort, zero row amplification: each right
+row is visited once no matter how many left rows it serves. That is the
+plan a 100 TB trade/quote-style as-of join needs — the alternative
+(range join + dedup) shuffles |left| x avg-matches-per-row rows.
+
+Skew note: a window cannot be salted (each key needs its full ordered
+history on one reducer), so a pathologically hot key serializes on one
+task. The standard mitigation at scale is time-bucketing the window
+(partition by (key, coarse bucket), carrying each bucket's closing
+payload into the next bucket); AQE cannot split a window partition.
+
+The right payload travels as ONE struct column: per-column
+last(IGNORE NULLS) would stitch values from *different* right rows
+whenever the matched row holds a legitimate NULL that an older row
+filled. The struct is all-or-nothing, preserving row integrity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+_K, _TS, _SIDE, _TIE, _PAY = (
+    "_asof_key", "_asof_ts", "_asof_side", "_asof_tie", "_asof_payload"
+)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: all left columns + `right_cols` from the latest
+    matching right row (NULL when no right row precedes the left row).
+
+    - ``strict=False`` (default): a right row at exactly ``left_ts``
+      matches (``right_ts <= left_ts``); ``strict=True`` excludes it.
+    - Ties (several right rows at the same (key, ts)): the row with the
+      greatest ``tie_col`` wins — pass a unique column for determinism;
+      with ``tie_col=None`` the winner among exact-ts duplicates is
+      partition-order-dependent.
+    - ``right_cols`` must be disjoint from left's columns (alias on the
+      right side first if they clash).
+    """
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right_cols {sorted(overlap)} collide with left columns — "
+            "alias them on the right side first"
+        )
+    left_cols = left.columns
+    l_types = {f.name: f.dataType for f in left.schema.fields}
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    pay_type = T.StructType(
+        [T.StructField(c, r_types[c], True) for c in right_cols]
+    )
+
+    def _null(dt) -> Column:
+        return F.lit(None).cast(dt)
+
+    tie_right = (
+        F.col(tie_col).cast("double") if tie_col is not None else F.lit(0.0)
+    )
+    # Join semantics: a NULL key never matches, and a right row with an
+    # unknown effective time cannot serve as anyone's "latest" (NULLS
+    # FIRST would otherwise slot it before every timestamp). Left rows
+    # with NULL key/ts simply come out payload-NULL.
+    right = right.filter(F.col(right_on).isNotNull() & F.col(right_ts).isNotNull())
+    lu = left.select(
+        F.col(left_on).alias(_K),
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(0.0).alias(_TIE),
+        *[F.col(c) for c in left_cols],
+        _null(pay_type).alias(_PAY),
+    )
+    ru = right.select(
+        F.col(right_on).alias(_K),
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        tie_right.alias(_TIE),
+        *[_null(l_types[c]).alias(c) for c in left_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias(_PAY),
+    )
+    # Equal-ts ordering decides inclusivity: right-before-left (side 0
+    # then 1) lets a same-instant right row be seen by the left row;
+    # left-before-right hides it (strict <).
+    side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+    w = (
+        Window.partitionBy(_K)
+        .orderBy(F.col(_TS).asc(), side_order, F.col(_TIE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        lu.unionByName(ru)
+        .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+        .filter(F.col(_SIDE) == 1)
+    )
+    return filled.select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"{_PAY}.{c}").alias(c) for c in right_cols],
+    )

@@ -68,3 +68,27 @@ def enrich(
     if source_dim is not None:
         out = out.join(F.broadcast(source_dim), on="source", how="left")
     return out
+
+
+def range_enrich(
+    df: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "left",
+) -> DataFrame:
+    """Broadcast range join: attach the band whose [lo, hi) interval
+    contains `value_col` (half-open, so adjacent bands never double-match).
+
+    The band table is dimension-sized (latency buckets, price tiers, IP
+    ranges), so the right plan at any fact size is a broadcast
+    nested-loop join: the fact stream is scanned once map-side against
+    the in-memory band list — no shuffle, no sort. Without the broadcast
+    hint a non-equi join degenerates to a cartesian shuffle, which is
+    why this helper exists. NULL values match nothing (standard join
+    semantics: NULL < x is unknown).
+    """
+    v = F.col(value_col)
+    cond = (v >= bands[lo_col]) & (v < bands[hi_col])
+    return df.join(F.broadcast(bands), cond, how)

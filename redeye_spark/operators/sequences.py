@@ -102,6 +102,47 @@ def pack_sequences(
     return df.select("doc_id", "tokens").mapInPandas(fn, schema=PACKED_SCHEMA)
 
 
+def chunk_tokens(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    block: int = 2048,
+    stride: int | None = None,
+    out_col: str = "chunk",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Split each token sequence into fixed-size training blocks
+    (optionally overlapping — the context-window chunking transform).
+
+    Chunk i covers tokens [i*stride, i*stride + block); chunks are
+    emitted until one reaches the end of the sequence, so the final
+    chunk may be short but no chunk is ever fully contained in its
+    predecessor. Sequences shorter than `block` yield one chunk; empty
+    sequences yield none.
+
+    Pure whole-stage-codegen: explode(sequence(0, n_chunks-1)) + slice —
+    no shuffle, no Python. The explode's row amplification is
+    ~n_tok/stride per document, exactly the output size, so the
+    transform is scan-shaped at any corpus size and Catalyst can still
+    push document-level filters below it.
+    """
+    if stride is None:
+        stride = block
+    if block <= 0 or stride <= 0:
+        raise ValueError(f"block and stride must be positive, got {block}, {stride}")
+    if stride > block:
+        raise ValueError(f"stride {stride} > block {block} would drop tokens")
+    n = F.size(F.col(tokens_col))
+    n_chunks = (
+        F.lit(1) + F.ceil((F.greatest(n - block, F.lit(0))) / F.lit(stride))
+    ).cast("int")
+    i = F.col(idx_col)
+    return (
+        df.filter(n > 0)
+        .withColumn(idx_col, F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(out_col, F.slice(F.col(tokens_col), i * stride + 1, block))
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

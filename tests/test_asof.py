@@ -1,0 +1,141 @@
+"""As-of join semantics (operators/asof.py): edge cases hand-built,
+bulk behavior cross-checked against pandas merge_asof."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redeye_spark.operators.asof import asof_join
+
+
+def _join(spark, left_rows, right_rows, **kw):
+    left = spark.createDataFrame(left_rows, "k long, ts long, lbl string")
+    right = spark.createDataFrame(right_rows, "k long, ts long, v double, rid long")
+    kw.setdefault("tie_col", "rid")
+    out = asof_join(
+        left, right,
+        left_on="k", right_on="k", left_ts="ts", right_ts="ts",
+        right_cols=["v", "rid"], **kw,
+    )
+    return {(r["k"], r["ts"]): (r["v"], r["rid"]) for r in out.collect()}
+
+
+class TestAsofSemantics:
+    def test_backward_basic(self, spark):
+        got = _join(
+            spark,
+            [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")],
+            [(1, 5, 100.0, 1), (1, 12, 200.0, 2), (2, 99, 300.0, 3)],
+        )
+        assert got[(1, 10)] == (100.0, 1)   # latest at-or-before 10 is ts=5
+        assert got[(1, 20)] == (200.0, 2)   # ts=12 supersedes ts=5
+        assert got[(2, 15)] == (None, None)  # only future right rows: no match
+
+    def test_exact_ts_inclusive_by_default_strict_excludes(self, spark):
+        left = [(1, 10, "a")]
+        right = [(1, 10, 50.0, 1), (1, 3, 40.0, 2)]
+        assert _join(spark, left, right)[(1, 10)] == (50.0, 1)
+        assert _join(spark, left, right, strict=True)[(1, 10)] == (40.0, 2)
+
+    def test_tie_highest_tie_col_wins(self, spark):
+        got = _join(
+            spark,
+            [(1, 10, "a")],
+            [(1, 7, 1.0, 11), (1, 7, 2.0, 99), (1, 7, 3.0, 42)],
+        )
+        assert got[(1, 10)] == (2.0, 99)
+
+    def test_payload_struct_never_stitches_rows(self, spark):
+        """The matched right row's legitimate NULL must not be filled
+        from an older right row (per-column last(IGNORE NULLS) would)."""
+        left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, lbl string")
+        right = spark.createDataFrame(
+            [(1, 2, 9.0, 100), (1, 8, None, 200)],
+            "k long, ts long, v double, rid long",
+        )
+        row = asof_join(
+            left, right, "k", "k", "ts", "ts", ["v", "rid"], tie_col="rid"
+        ).collect()[0]
+        assert row["rid"] == 200 and row["v"] is None
+
+    def test_null_keys_and_ts_never_match(self, spark):
+        left = spark.createDataFrame(
+            [(None, 10, "nullkey"), (1, None, "nullts"), (1, 10, "ok")],
+            "k long, ts long, lbl string",
+        )
+        right = spark.createDataFrame(
+            [(None, 1, 7.0, 1), (1, None, 8.0, 2), (1, 4, 9.0, 3)],
+            "k long, ts long, v double, rid long",
+        )
+        out = {r["lbl"]: r["v"] for r in
+               asof_join(left, right, "k", "k", "ts", "ts", ["v"], tie_col="rid").collect()}
+        assert out == {"nullkey": None, "nullts": None, "ok": 9.0}
+
+    def test_collision_raises(self, spark):
+        df = spark.createDataFrame([(1, 2)], "k long, ts long")
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(df, df, "k", "k", "ts", "ts", ["ts"])
+
+    def test_left_row_count_preserved(self, spark):
+        left = spark.createDataFrame([(i % 3, i, "x") for i in range(50)],
+                                     "k long, ts long, lbl string")
+        right = spark.createDataFrame([(0, 10, 1.0, 1)],
+                                      "k long, ts long, v double, rid long")
+        assert asof_join(left, right, "k", "k", "ts", "ts", ["v"],
+                         tie_col="rid").count() == 50
+
+
+class TestAsofBulk:
+    def test_matches_pandas_merge_asof(self, spark):
+        rng = np.random.default_rng(7)
+        n_l, n_r = 400, 300
+        lpd = pd.DataFrame({
+            "k": rng.integers(0, 12, n_l),
+            "ts": rng.choice(np.arange(0, 10_000, 3), n_l, replace=False).astype("int64"),
+        })
+        # unique (k, ts) on the right so merge_asof's tie rule can't differ
+        rpd = pd.DataFrame({
+            "k": rng.integers(0, 12, n_r),
+            "ts": rng.choice(np.arange(1, 10_000, 7), n_r, replace=False).astype("int64"),
+            "v": rng.normal(size=n_r).round(6),
+        }).drop_duplicates(["k", "ts"])
+        rpd["rid"] = np.arange(len(rpd))
+
+        exp = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+        ).sort_values(["k", "ts"]).reset_index(drop=True)
+
+        left = spark.createDataFrame(lpd)
+        right = spark.createDataFrame(rpd)
+        got = (
+            asof_join(left, right, "k", "k", "ts", "ts", ["v", "rid"], tie_col="rid")
+            .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "ts", "v", "rid"]], exp[["k", "ts", "v", "rid"]],
+            check_dtype=False,
+        )
+
+
+class TestAsofPlan:
+    def test_single_exchange_no_join_node(self, spark):
+        """The whole as-of is ONE hash exchange + window — never a join
+        operator (a range join would amplify rows) and never a second
+        shuffle."""
+        from tests.test_plans import plan_of
+
+        left = spark.range(100).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("ts"),
+            F.lit("x").alias("lbl"))
+        right = spark.range(50).select(
+            (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"),
+            F.col("id").cast("double").alias("v"))
+        import re
+
+        out = asof_join(left, right, "k", "k", "ts", "ts", ["v"])
+        plan = plan_of(out)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "Window" in plan, plan
+        assert "Join" not in plan, plan

@@ -281,3 +281,46 @@ def test_split_and_sample_are_shuffle_free_projections(spark):
     for q in (EQ.q_train_val_split, EQ.q_stratified_sample):
         p = plan_of(q(spark, "/root/testdata/sf0.001"))
         assert "Exchange" not in p, p
+
+
+def test_range_enrich_is_broadcast_nested_loop(spark):
+    """A non-equi band join must broadcast the dim: without the hint it
+    degenerates to a cartesian shuffle of the fact stream."""
+    from redeye_spark import entry_queries as EQ
+
+    p = plan_of(EQ.q_value_band_counts(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_regional_revenue_mixed_join_strategy(spark):
+    """TPC-H Q5 shape: exactly one sort-merge edge (the fact x fact
+    lineitem-orders join) and every dimension edge broadcast."""
+    from redeye_spark import entry_queries as EQ
+
+    p = plan_of(EQ.q_regional_revenue(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_chunk_tokens_is_shuffle_free(spark):
+    """Context-window chunking is scan-shaped: explode + slice with no
+    Exchange — amplification must not cross a shuffle."""
+    from redeye_spark import entry_queries as EQ
+
+    p = plan_of(EQ.q_chunk_tokens(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in p, p
+    assert "Generate" in p, p  # the explode
+
+
+def test_hopping_counts_partial_aggregates_before_shuffle(spark):
+    """The 2x window replication must be absorbed by the map-side
+    partial aggregate: plan shows partial then final HashAggregate with
+    one exchange between them."""
+    from redeye_spark import entry_queries as EQ
+
+    p = plan_of(EQ.q_hopping_counts(spark, "/root/testdata/sf0.001"))
+    assert p.count("HashAggregate") >= 2, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p

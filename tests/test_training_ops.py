@@ -486,3 +486,66 @@ class TestReviewRegressions:
         train = spark.createDataFrame([(1, "\ta b c d tail")], ["doc_id", "text"])
         ev = spark.createDataFrame([(9, " a b c d other")], ["doc_id", "text"])
         assert dedup.contaminated_ids(train, ev, n=5).count() == 0
+
+
+class TestChunkTokens:
+    def _chunks(self, spark, toks, block, stride):
+        from redeye_spark.operators.sequences import chunk_tokens
+
+        df = spark.createDataFrame([(1, toks)], "doc_id long, tokens array<int>")
+        rows = chunk_tokens(df, "tokens", block=block, stride=stride) \
+            .orderBy("chunk_idx").collect()
+        return [r["chunk"] for r in rows]
+
+    def test_short_sequence_single_chunk(self, spark):
+        assert self._chunks(spark, [1, 2, 3], 8, 8) == [[1, 2, 3]]
+
+    def test_exact_block_boundary(self, spark):
+        toks = list(range(8))
+        assert self._chunks(spark, toks, 8, 8) == [toks]
+        assert self._chunks(spark, toks + [9], 8, 8) == [toks, [9]]
+
+    def test_overlap_and_tail(self, spark):
+        got = self._chunks(spark, list(range(10)), block=6, stride=4)
+        assert got == [[0, 1, 2, 3, 4, 5], [4, 5, 6, 7, 8, 9]]
+
+    def test_every_token_covered_no_redundant_tail(self, spark):
+        toks = list(range(100))
+        got = self._chunks(spark, toks, block=16, stride=12)
+        covered = sorted({t for c in got for t in c})
+        assert covered == toks                      # full coverage
+        for prev, cur in zip(got, got[1:]):         # progress every chunk
+            assert set(cur) - set(prev)
+
+    def test_empty_sequence_yields_no_rows(self, spark):
+        assert self._chunks(spark, [], 8, 8) == []
+
+    def test_bad_args_raise(self, spark):
+        from redeye_spark.operators.sequences import chunk_tokens
+
+        df = spark.createDataFrame([(1, [1])], "doc_id long, tokens array<int>")
+        with pytest.raises(ValueError, match="positive"):
+            chunk_tokens(df, "tokens", block=0)
+        with pytest.raises(ValueError, match="drop tokens"):
+            chunk_tokens(df, "tokens", block=4, stride=5)
+
+
+class TestHoppingCounts:
+    def test_every_row_lands_in_exactly_two_windows(self, spark):
+        from redeye_spark.operators.aggregate import hopping_counts
+
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = hopping_counts(df, "ts", ["event_type"])
+        total = out.agg(F.sum("n")).collect()[0][0]
+        assert total == 2 * df.count()
+
+    def test_window_width_and_alignment(self, spark):
+        from redeye_spark.operators.aggregate import hopping_counts
+
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        row = hopping_counts(df, "ts", ["event_type"]).select(
+            "window_start", "window_end").first()
+        delta = row["window_end"] - row["window_start"]
+        assert delta.total_seconds() == 3600
+        assert row["window_start"].minute in (0, 30)
+        assert row["window_start"].second == 0
