@@ -2218,3 +2218,90 @@ ORACLES.update({
     "hopping_counts": SQL_HOPPING_COUNTS,
     "value_quartiles": SQL_VALUE_QUARTILES,
 })
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): per-method request counts spread into
+    one column per status class. The pivot value list is EXPLICIT, which
+    matters twice at scale: Spark skips the extra distinct-scan pass it
+    otherwise runs to discover the values, and the output schema is
+    stable whatever slice of data a partition sees. Built on the full
+    tokenize -> parse -> broadcast-enrich pipeline output, so the
+    parser feeds it end to end."""
+    parsed = _parsed(spark, sf_dir)
+    enriched = enrich_op.enrich(
+        parsed, enrich_op.dim_status_class(spark), enrich_op.dim_ua_family(spark)
+    )
+    classes = ["2xx", "3xx", "4xx", "5xx"]
+    return (
+        enriched.filter(F.col("error_kind").isNull() & F.col("status_code").isNotNull())
+        .groupBy("method")
+        .pivot("status_class", classes)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "method",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in classes],
+        )
+    )
+
+
+def _status_pivot_oracle() -> str:
+    cases = ",\n       ".join(
+        f"COUNT(CASE WHEN CAST(floor(status_code / 100) AS BIGINT) || 'xx' "
+        f"= '{c}' THEN 1 END) AS n_{c}"
+        for c in ["2xx", "3xx", "4xx", "5xx"]
+    )
+    return f"""
+WITH {_oracle_base()}
+SELECT method, {cases}
+FROM expected WHERE error_kind IS NULL AND status_code IS NOT NULL
+GROUP BY method
+"""
+
+
+def q_rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-range window: for every event, the user's event
+    count and integer-cents value sum over the PRECEDING hour (range
+    frame over epoch seconds, not a row frame — gaps and bursts are
+    handled correctly). The sum is over exact integers (cents), so both
+    engines agree bit-for-bit regardless of their internal accumulation
+    order — a float sum over a sliding frame is evaluation-order-
+    sensitive and would flap the hash."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(cents).over(w).alias("cents_1h"),
+    )
+
+
+SQL_ROLLING_USER_ACTIVITY = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES.update({
+    "status_pivot": q_status_pivot,
+    "rolling_user_activity": q_rolling_user_activity,
+})
+ORACLES.update({
+    "status_pivot": _status_pivot_oracle(),
+    "rolling_user_activity": SQL_ROLLING_USER_ACTIVITY,
+})
