@@ -60,6 +60,9 @@ TIMED_QUERIES = [
     # round 3: the fact x fact shuffle-join shapes
     "order_priority_counts",
     "shipping_revenue",
+    # round 3b: as-of (single-exchange window) and Q5 star join
+    "asof_last_order",
+    "regional_revenue",
 ]
 
 

@@ -549,3 +549,30 @@ class TestHoppingCounts:
         assert delta.total_seconds() == 3600
         assert row["window_start"].minute in (0, 30)
         assert row["window_start"].second == 0
+
+
+class TestApproxDistinct:
+    """approx_count_distinct is the 100 TB distinct-cardinality path
+    (HLL++ sketch, bounded memory, partial-aggregable). It cannot carry
+    a value-exact DuckDB oracle (different HLL implementations), so the
+    rsd error contract is pinned here instead."""
+
+    def test_hll_within_rsd_of_exact(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        row = df.agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        ).collect()[0]
+        assert abs(row["approx"] - row["exact"]) <= max(3, 0.05 * row["exact"]), row
+
+    def test_sketch_is_partial_aggregable(self, spark):
+        """The sketch must partial-aggregate map-side (two HashAggregate
+        phases with the HLL buffer crossing the exchange) — that is the
+        property that makes it the scale path."""
+        from tests.test_plans import plan_of
+
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        p = plan_of(df.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id").alias("nd")))
+        assert p.count("HashAggregate") >= 2, p
+        assert "approx_count_distinct" in p, p
