@@ -2178,7 +2178,7 @@ def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").asc(), F.col("event_id").asc()
     )
     return (
-        ev.withColumn("quartile", F.ntile(4).over(w))
+        ev.withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .groupBy("event_type", "quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2229,9 +2229,9 @@ def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize -> parse -> broadcast-enrich pipeline output, so the
     parser feeds it end to end."""
     parsed = _parsed(spark, sf_dir)
-    enriched = enrich_op.enrich(
-        parsed, enrich_op.dim_status_class(spark), enrich_op.dim_ua_family(spark)
-    )
+    # status dim only: the UA join would survive into the physical plan
+    # (Catalyst can't prune an unused left join) and is not consumed here
+    enriched = enrich_op.enrich(parsed, enrich_op.dim_status_class(spark))
     classes = ["2xx", "3xx", "4xx", "5xx"]
     return (
         enriched.filter(F.col("error_kind").isNull() & F.col("status_code").isNotNull())
@@ -2266,7 +2266,10 @@ def q_rolling_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     handled correctly). The sum is over exact integers (cents), so both
     engines agree bit-for-bit regardless of their internal accumulation
     order — a float sum over a sliding frame is evaluation-order-
-    sensitive and would flap the hash."""
+    sensitive and would flap the hash. The frame orders by WHOLE
+    seconds on both sides (Spark unix_timestamp truncates; the oracle
+    must floor(epoch(ts)), not CAST, which rounds half-up in DuckDB
+    and shifts sub-second rows across the 3600s boundary)."""
     _utc(spark)
     from pyspark.sql import Window
 
@@ -2292,7 +2295,7 @@ SELECT event_id, user_id,
        COUNT(*) OVER w AS n_1h,
        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 

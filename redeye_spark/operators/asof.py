@@ -82,9 +82,19 @@ def asof_join(
     def _null(dt) -> Column:
         return F.lit(None).cast(dt)
 
-    tie_right = (
-        F.col(tie_col).cast("double") if tie_col is not None else F.lit(0.0)
-    )
+    # The tie column keeps its native type: casting to double would
+    # collapse 64-bit ids above 2^53 (reintroducing the nondeterminism
+    # tie_col exists to remove) and NULL out non-numeric tie columns.
+    # Left rows carry NULL — ordering among them never matters because
+    # _SIDE sorts before _TIE.
+    if tie_col is not None:
+        if tie_col not in r_types:
+            raise ValueError(f"tie_col {tie_col!r} is not a column of right")
+        tie_right: Column = F.col(tie_col)
+        tie_left: Column = _null(r_types[tie_col])
+    else:
+        tie_right = F.lit(0)
+        tie_left = F.lit(0)
     # Join semantics: a NULL key never matches, and a right row with an
     # unknown effective time cannot serve as anyone's "latest" (NULLS
     # FIRST would otherwise slot it before every timestamp). Left rows
@@ -94,7 +104,7 @@ def asof_join(
         F.col(left_on).alias(_K),
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
-        F.lit(0.0).alias(_TIE),
+        tie_left.alias(_TIE),
         *[F.col(c) for c in left_cols],
         _null(pay_type).alias(_PAY),
     )

@@ -42,29 +42,32 @@ def dim_ua_family(spark: SparkSession) -> DataFrame:
 def enrich(
     parsed: DataFrame,
     status_dim: DataFrame,
-    ua_dim: DataFrame,
+    ua_dim: DataFrame | None = None,
     source_dim: DataFrame | None = None,
 ) -> DataFrame:
-    """Left-join the three dims, broadcast-hinted.
+    """Left-join the dims, broadcast-hinted. Skipping a dim skips its
+    join entirely — Catalyst can't prune an unused left join itself
+    (it can't prove the dim non-expanding), so callers that only need
+    one enrichment shouldn't pay for the others.
 
     Unknown-but-present values get a default bucket ('other' family,
     'unknown' class) while absent inputs stay NULL — enrichment must not
     resurrect fields redeye omitted.
     """
-    out = (
-        parsed.join(F.broadcast(status_dim), on="status_code", how="left")
-        .withColumn(
-            "status_class",
-            F.when(F.col("status_code").isNotNull(), F.coalesce(F.col("status_class"), F.lit("unknown"))),
-        )
-        .withColumn("ua_token", F.regexp_extract(F.col("user_agent"), UA_TOKEN_RE, 1))
-        .join(F.broadcast(ua_dim), on="ua_token", how="left")
-        .withColumn(
-            "ua_family",
-            F.when(F.col("user_agent").isNotNull(), F.coalesce(F.col("ua_family"), F.lit("other"))),
-        )
-        .drop("ua_token")
+    out = parsed.join(F.broadcast(status_dim), on="status_code", how="left").withColumn(
+        "status_class",
+        F.when(F.col("status_code").isNotNull(), F.coalesce(F.col("status_class"), F.lit("unknown"))),
     )
+    if ua_dim is not None:
+        out = (
+            out.withColumn("ua_token", F.regexp_extract(F.col("user_agent"), UA_TOKEN_RE, 1))
+            .join(F.broadcast(ua_dim), on="ua_token", how="left")
+            .withColumn(
+                "ua_family",
+                F.when(F.col("user_agent").isNotNull(), F.coalesce(F.col("ua_family"), F.lit("other"))),
+            )
+            .drop("ua_token")
+        )
     if source_dim is not None:
         out = out.join(F.broadcast(source_dim), on="source", how="left")
     return out

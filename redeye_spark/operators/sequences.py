@@ -131,6 +131,12 @@ def chunk_tokens(
         raise ValueError(f"block and stride must be positive, got {block}, {stride}")
     if stride > block:
         raise ValueError(f"stride {stride} > block {block} would drop tokens")
+    clash = {idx_col, out_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"output column(s) {sorted(clash)} already exist on the input — "
+            "pass different idx_col/out_col names"
+        )
     n = F.size(F.col(tokens_col))
     n_chunks = (
         F.lit(1) + F.ceil((F.greatest(n - block, F.lit(0))) / F.lit(stride))

@@ -139,3 +139,42 @@ class TestAsofPlan:
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
         assert "Window" in plan, plan
         assert "Join" not in plan, plan
+
+
+class TestReviewRegressions:
+    def test_tie_col_keeps_64bit_precision(self, spark):
+        """Two right rows at the same (key, ts) with bigint ids above
+        2^53 must tie-break exactly (a double cast would collapse them
+        into partition-order nondeterminism)."""
+        big = (1 << 60) + 0  # 2^60: adjacent values are equal as doubles
+        left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, lbl string")
+        right = spark.createDataFrame(
+            [(1, 7, 1.0, big), (1, 7, 2.0, big + 1)],
+            "k long, ts long, v double, rid long",
+        )
+        rows = []
+        from redeye_spark.operators.asof import asof_join
+        for _ in range(3):
+            rows.append(asof_join(left, right, "k", "k", "ts", "ts",
+                                  ["v", "rid"], tie_col="rid").collect()[0])
+        assert all(r["rid"] == big + 1 and r["v"] == 2.0 for r in rows), rows
+
+    def test_string_tie_col_works(self, spark):
+        from redeye_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, lbl string")
+        right = spark.createDataFrame(
+            [(1, 7, 1.0, "aaa"), (1, 7, 2.0, "zzz")],
+            "k long, ts long, v double, rid string",
+        )
+        row = asof_join(left, right, "k", "k", "ts", "ts", ["v"],
+                        tie_col="rid").collect()[0]
+        assert row["v"] == 2.0
+
+    def test_tie_col_must_be_right_column(self, spark):
+        from redeye_spark.operators.asof import asof_join
+
+        df = spark.createDataFrame([(1, 2, 3.0)], "k long, ts long, v double")
+        with pytest.raises(ValueError, match="not a column of right"):
+            asof_join(df, df.select("k", "ts"), "k", "k", "ts", "ts", [],
+                      tie_col="nope")
