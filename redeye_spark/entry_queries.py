@@ -2308,3 +2308,89 @@ ORACLES.update({
     "status_pivot": _status_pivot_oracle(),
     "rolling_user_activity": SQL_ROLLING_USER_ACTIVITY,
 })
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE multi-grouping — all 2^k grouping sets in ONE Expand-based
+    pass (the companion to rollup_counts' hierarchy sets). grouping_id
+    disambiguates a genuine NULL key from a subtotal row, which matters
+    once the cube keys are nullable (method is NULL on dead-letter rows
+    if they weren't filtered — they are, but the id column keeps the
+    contract explicit and engine-portable)."""
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.filter(F.col("error_kind").isNull())
+        .cube("method", "protocol")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.grouping_id().alias("gid"))
+    )
+
+
+SQL_CUBE_COUNTS = f"""
+WITH {_oracle_base()}
+SELECT method, protocol, COUNT(*) AS n,
+       CAST(GROUPING(method, protocol) AS BIGINT) AS gid
+FROM expected WHERE error_kind IS NULL
+GROUP BY CUBE(method, protocol)
+"""
+
+
+def q_user_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type nothing else exercises:
+    per-user event counts x per-customer order counts, keeping users
+    with no orders AND customers with no events (both sides pre-
+    aggregated, so the join itself is key-unique and the outer NULLs
+    are meaningful). Bucketed into a 3-way coverage tally."""
+    _utc(spark)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    both = ev.join(od, on="uid", how="full_outer")
+    side = (
+        F.when(F.col("n_events").isNull(), F.lit("orders_only"))
+        .when(F.col("n_orders").isNull(), F.lit("events_only"))
+        .otherwise(F.lit("both"))
+    )
+    return both.groupBy(side.alias("side")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.coalesce("n_events", F.lit(0))).alias("total_events"),
+        F.sum(F.coalesce("n_orders", F.lit(0))).alias("total_orders"),
+    )
+
+
+SQL_USER_ORDER_COVERAGE = """
+WITH ev AS (
+  SELECT user_id AS uid, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+od AS (
+  SELECT o_custkey AS uid, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT CASE WHEN ev.n_events IS NULL THEN 'orders_only'
+              WHEN od.n_orders IS NULL THEN 'events_only'
+              ELSE 'both' END AS side,
+         ev.n_events, od.n_orders
+  FROM ev FULL OUTER JOIN od ON ev.uid = od.uid
+)
+SELECT side, COUNT(*) AS n_keys,
+       CAST(SUM(COALESCE(n_events, 0)) AS BIGINT) AS total_events,
+       CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
+FROM j GROUP BY side
+"""
+
+
+QUERIES.update({
+    "cube_counts": q_cube_counts,
+    "user_order_coverage": q_user_order_coverage,
+})
+ORACLES.update({
+    "cube_counts": SQL_CUBE_COUNTS,
+    "user_order_coverage": SQL_USER_ORDER_COVERAGE,
+})

@@ -116,6 +116,80 @@ def start_windowed_counts(
     return writer.start()
 
 
+def start_error_correlation_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint: str,
+    cfg: PipelineConfig | None = None,
+    key_col: str = "remote_host",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked stream-stream interval join: every 5xx error event is
+    paired with the same key's (`key_col`: host, service, source...)
+    preceding 2xx successes within `horizon` — the "what did this
+    client do right before it started failing" correlation, the
+    canonical impressions⋈clicks stream-stream shape.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, which is exactly what lets Spark expire join
+    state: each side buffers only rows newer than
+    (max event time - watermark - horizon), so state is O(rate x
+    horizon), not O(stream). An equality-only stream-stream join would
+    be rejected as unbounded without these.
+
+    Default single-batch trigger keeps the result deterministic and
+    equal to the same join run in batch mode (multi-batch runs may
+    additionally drop genuinely late rows at the watermark — correct,
+    but input-file-order-dependent)."""
+    cfg = cfg or PipelineConfig()
+    if max_files_per_trigger is None:
+        raw = spark.readStream.schema(RAW_SEQUENCES).parquet(source_path)
+    else:
+        raw = read_stream(spark, source_path, max_files_per_trigger)
+    tagged = build_tagged(spark, raw, cfg).filter(F.col("timestamp").isNotNull())
+
+    ok = (
+        tagged.filter(F.col("status_class") == "2xx")
+        .select(
+            F.col(key_col).alias("host"),
+            F.col("timestamp").alias("ok_ts"),
+            F.col("requested_uri").alias("ok_uri"),
+        )
+        .withWatermark("ok_ts", watermark)
+    )
+    err = (
+        tagged.filter(F.col("status_class") == "5xx")
+        .select(
+            F.col(key_col).alias("err_host"),
+            F.col("timestamp").alias("err_ts"),
+            F.col("status_code").alias("err_status"),
+            F.col("doc_id").alias("err_doc_id"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    joined = err.join(
+        ok,
+        F.expr(
+            f"err_host = host AND "
+            f"ok_ts >= err_ts - INTERVAL {horizon} AND ok_ts <= err_ts"
+        ),
+        "inner",
+    ).select("err_doc_id", "err_host", "err_ts", "err_status", "ok_ts", "ok_uri")
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_dedup_stream(
     spark: SparkSession,
     input_path: str,

@@ -89,3 +89,46 @@ def test_streaming_dedup_within_watermark(spark, source_dir, tmp_path_factory):
               .filter(F.col("timestamp").isNotNull()).select("doc_id").distinct().count())
     assert got.count() == ok_ids
     assert got.select("doc_id").distinct().count() == ok_ids
+
+
+def test_stream_stream_interval_join_matches_batch(spark, source_dir, tmp_path_factory):
+    """The watermarked stream-stream interval join (5xx errors x same
+    host's preceding-hour 2xx successes) must produce exactly the rows
+    the identical join yields in batch mode over the same input."""
+    base, pdf = source_dir
+    out = str(tmp_path_factory.mktemp("ssj_out"))
+    q = stream_mod.start_error_correlation_stream(
+        spark, base, os.path.join(out, "joined"), os.path.join(out, "_ckpt"),
+        PipelineConfig(fmt=FORMAT_COMBINED), key_col="source",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(os.path.join(out, "joined")).toPandas()
+
+    from redeye_spark.plans.pipeline import build_tagged
+    tagged = build_tagged(
+        spark, spark.read.parquet(base), PipelineConfig(fmt=FORMAT_COMBINED)
+    ).filter(F.col("timestamp").isNotNull())
+    ok = tagged.filter(F.col("status_class") == "2xx").select(
+        F.col("source").alias("host"),
+        F.col("timestamp").alias("ok_ts"),
+        F.col("requested_uri").alias("ok_uri"),
+    )
+    err = tagged.filter(F.col("status_class") == "5xx").select(
+        F.col("source").alias("err_host"),
+        F.col("timestamp").alias("err_ts"),
+        F.col("status_code").alias("err_status"),
+        F.col("doc_id").alias("err_doc_id"),
+    )
+    exp = err.join(
+        ok,
+        F.expr("err_host = host AND ok_ts >= err_ts - INTERVAL 1 HOUR AND ok_ts <= err_ts"),
+        "inner",
+    ).select("err_doc_id", "err_host", "err_ts", "err_status", "ok_ts", "ok_uri").toPandas()
+
+    assert len(exp) > 0, "fixture produced no correlated pairs — widen the corpus"
+    key = ["err_doc_id", "err_ts", "ok_ts", "ok_uri"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[sorted(got.columns)], e[sorted(exp.columns)],
+                                  check_dtype=False)
