@@ -2394,3 +2394,149 @@ ORACLES.update({
     "cube_counts": SQL_CUBE_COUNTS,
     "user_order_coverage": SQL_USER_ORDER_COVERAGE,
 })
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation capstone — the composition a training-data
+    pipeline actually runs, all existing operators chained: quality
+    scoring (codegen formula) -> threshold filter -> exact dedup
+    (keep-lowest-id semi join) -> deterministic md5 split -> per-split
+    stats. Aggregates stay integer (doc counts, word counts, quality in
+    basis points: the score is rounded to 4dp, so x10000 is integral)
+    so no float accumulation order can flap the hash."""
+    from .operators import dedup as dedup_op
+    from .operators import sampling
+    from .operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = text_op.quality_score(docs)
+    kept = scored.filter(F.col("quality") >= 0.5)
+    keep_ids = dedup_op.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    deduped = kept.join(keep_ids, "doc_id", "left_semi")
+    split_df = sampling.train_val_test_split(deduped)
+    return split_df.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_words").cast("long")).alias("total_words"),
+        F.sum(F.round(F.col("quality") * 10000).cast("long")).alias("quality_bp"),
+    )
+
+
+SQL_CURATION_PIPELINE = r"""
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
+    CASE WHEN length(text) > 0
+         THEN round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text), 4)
+         ELSE NULL END AS punct_ratio,
+    CASE WHEN len(ws) > 0 AND length(trim(text)) > 0
+         THEN round(len(list_intersect(list_transform(string_split_regex(trim(lower(text)), '\s+'), x -> trim(x)),
+              ['the','and','of','to','in','is','that','for','with','was'])) * 1.0 / len(ws), 4)
+         ELSE NULL END AS stopword_ratio,
+    CASE WHEN len(ws) > 0 AND length(trim(text)) > 0
+         THEN round((len(ws) - len(list_distinct(ws))) * 1.0 / len(ws), 4)
+         ELSE NULL END AS dup_word_ratio
+  FROM w
+),
+q AS (
+  SELECT doc_id, text, n_words,
+    round(
+      least(n_words / 20.0, 1.0) * 0.4
+      + (1 - least(coalesce(punct_ratio, 0.0) * 4, 1.0)) * 0.2
+      + least(coalesce(stopword_ratio, 0.0) * 5, 1.0) * 0.2
+      + (1 - least(coalesce(dup_word_ratio, 0.0) * 2, 1.0)) * 0.2,
+    4) AS quality
+  FROM m
+),
+kept AS (SELECT * FROM q WHERE quality >= 0.5),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+dd AS (SELECT kept.* FROM kept JOIN keep USING (doc_id)),
+sp AS (
+  SELECT *,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204
+              THEN 'train'
+              WHEN (strpos('0123456789abcdef', substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM dd
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT) AS quality_bp
+FROM sp GROUP BY split
+"""
+
+
+QUERIES.update({"curation_pipeline": q_curation_pipeline})
+ORACLES.update({"curation_pipeline": SQL_CURATION_PIPELINE})
+
+
+_GROK_APP_PATTERN = (
+    r"%{TIMESTAMP_ISO8601:ts_iso} %{LOGLEVEL:level} "
+    r"\[%{WORD:svc}\] %{WORD:verb} %{URIPATH:path} took %{INT:ms}ms"
+)
+
+
+def _app_line_sql(dialect: str) -> str:
+    """App-log line derived from events by identical arithmetic in both
+    dialects (the grok companion to the NCSA line builder)."""
+    f = _frags(dialect)
+    iso = (
+        "date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss\")"
+        if dialect == "spark"
+        else "strftime(ts, '%Y-%m-%dT%H:%M:%S')"
+    )
+    level = ("CASE WHEN event_type = 'error' THEN 'ERROR' "
+             "WHEN value < 10 THEN 'DEBUG' ELSE 'INFO' END")
+    ms = "CAST(CAST(floor(value * 10) AS BIGINT) AS VARCHAR)" if dialect != "spark" \
+        else "CAST(CAST(floor(value * 10) AS BIGINT) AS STRING)"
+    return (
+        f"{iso} || ' ' || {level} || ' [' || event_type || '] ' || "
+        f"{f['method']} || ' ' || {f['uri']} || ' took ' || {ms} || 'ms'"
+    )
+
+
+def q_grok_app_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second grok format — an ISO-8601 app log (level, service, verb,
+    URI path, latency) — exercising the round-3 library additions
+    (TIMESTAMP_ISO8601, URIPATH) over a non-NCSA line shape. Same
+    engine-portable contract: the oracle replays the IDENTICAL compiled
+    regex through DuckDB RE2."""
+    from .functions.grok import grok_extract
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.selectExpr(
+        "'ev-' || CAST(event_id AS STRING) AS doc_id",
+        f"{_app_line_sql('spark')} AS line",
+    )
+    return grok_extract(lines, _GROK_APP_PATTERN, keep=["doc_id"])
+
+
+def _grok_app_oracle_sql() -> str:
+    from .functions.grok import grok_to_regex
+
+    regex, fields = grok_to_regex(_GROK_APP_PATTERN)
+    esc = regex.replace("'", "''")
+    cols = ",\n       ".join(
+        f"regexp_extract(line, '{esc}', {i + 1}) AS {f}" for i, f in enumerate(fields)
+    )
+    return f"""
+WITH base AS (
+  SELECT 'ev-' || CAST(event_id AS VARCHAR) AS doc_id,
+         {_app_line_sql('duck')} AS line
+  FROM events
+)
+SELECT doc_id,
+       {cols},
+       regexp_matches(line, '{esc}') AS grok_match
+FROM base
+"""
+
+
+QUERIES.update({"grok_app_log": q_grok_app_log})
+ORACLES.update({"grok_app_log": _grok_app_oracle_sql()})

@@ -44,24 +44,46 @@ GROK_PATTERNS: dict[str, str] = {
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
     "QUOTEDSTRING": r'"[^"]*"',
     "LOGLEVEL": r"(?:DEBUG|INFO|WARN|ERROR|FATAL|TRACE)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "SYSLOGTIMESTAMP": r"\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "URIPATH": r"/[^\s?#]*",
+    "EMAILADDRESS": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
 }
 
 _REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+# an unescaped "(" not followed by "?" opens a capturing group, which
+# would silently shift every later field's extract index
+_CAPTURING = re.compile(r"(?<!\\)\((?!\?)")
 
 
-def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+def grok_to_regex(
+    pattern: str, extra_patterns: dict[str, str] | None = None
+) -> tuple[str, list[str]]:
     """Compile a grok expression to (anchored_regex, field_names).
 
     `%{NAME:field}` becomes a capturing group, `%{NAME}` a non-capturing
     one; everything else passes through verbatim (callers regex-escape
-    their own literals, as in grok)."""
+    their own literals, as in grok). ``extra_patterns`` adds or overrides
+    library entries (the Logstash custom-pattern facility); bodies must
+    not contain capturing groups — that would shift field indexes — and
+    are rejected if they do."""
+    lib = GROK_PATTERNS
+    if extra_patterns:
+        for name, body in extra_patterns.items():
+            if _CAPTURING.search(body):
+                raise ValueError(
+                    f"extra pattern {name!r} contains a capturing group — "
+                    "use (?:...) so field indexes stay aligned"
+                )
+        lib = {**GROK_PATTERNS, **extra_patterns}
     fields: list[str] = []
 
     def sub(m: re.Match) -> str:
         name, field = m.group(1), m.group(2)
-        if name not in GROK_PATTERNS:
+        if name not in lib:
             raise ValueError(f"unknown grok pattern %{{{name}}}")
-        body = GROK_PATTERNS[name]
+        body = lib[name]
         if field:
             fields.append(field)
             return f"({body})"
@@ -81,14 +103,18 @@ def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
 
 
 def grok_extract(
-    df: DataFrame, pattern: str, line_col: str = "line", keep: list[str] | None = None
+    df: DataFrame,
+    pattern: str,
+    line_col: str = "line",
+    keep: list[str] | None = None,
+    extra_patterns: dict[str, str] | None = None,
 ) -> DataFrame:
     """Project one string column per grok field plus `grok_match`.
 
     Non-matching lines get grok_match=false and empty-string fields
     (regexp_extract's no-match value — identical in DuckDB), so error
     routing stays a filter, exactly like the main parser's taxonomy."""
-    regex, fields = grok_to_regex(pattern)
+    regex, fields = grok_to_regex(pattern, extra_patterns)
     clash = (set(fields) | {"grok_match"}) & set(df.columns)
     if clash:
         raise ValueError(

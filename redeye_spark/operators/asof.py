@@ -53,12 +53,19 @@ def asof_join(
     right_cols: list[str],
     tie_col: str | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: all left columns + `right_cols` from the latest
-    matching right row (NULL when no right row precedes the left row).
+    """Left as-of join: all left columns + `right_cols` from the closest
+    matching right row (NULL when no right row qualifies).
 
+    - ``direction="backward"`` (default): the LATEST right row with
+      ``right_ts <= left_ts`` — temporal enrichment ("state as of").
+      ``direction="forward"``: the EARLIEST right row with
+      ``right_ts >= left_ts`` — "next event after" (next deploy after
+      an error, next maintenance window). Same single-exchange plan:
+      forward just flips the window sort to descending.
     - ``strict=False`` (default): a right row at exactly ``left_ts``
-      matches (``right_ts <= left_ts``); ``strict=True`` excludes it.
+      matches; ``strict=True`` excludes it.
     - Ties (several right rows at the same (key, ts)): the row with the
       greatest ``tie_col`` wins — pass a unique column for determinism;
       with ``tie_col=None`` the winner among exact-ts duplicates is
@@ -66,6 +73,8 @@ def asof_join(
     - ``right_cols`` must be disjoint from left's columns (alias on the
       right side first if they clash).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     overlap = set(right_cols) & set(left.columns)
     if overlap:
         raise ValueError(
@@ -118,11 +127,19 @@ def asof_join(
     )
     # Equal-ts ordering decides inclusivity: right-before-left (side 0
     # then 1) lets a same-instant right row be seen by the left row;
-    # left-before-right hides it (strict <).
+    # left-before-right hides it (strict <). Forward direction flips
+    # the time sort so "running last" sees the closest LATER right row;
+    # NULLS FIRST explicitly — desc defaults to nulls-last, which would
+    # let a NULL-ts left row see every right row instead of none.
     side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+    ts_order = (
+        F.col(_TS).asc()  # asc is NULLS FIRST by default
+        if direction == "backward"
+        else F.col(_TS).desc_nulls_first()
+    )
     w = (
         Window.partitionBy(_K)
-        .orderBy(F.col(_TS).asc(), side_order, F.col(_TIE).asc())
+        .orderBy(ts_order, side_order, F.col(_TIE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = (

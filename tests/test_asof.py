@@ -178,3 +178,67 @@ class TestReviewRegressions:
         with pytest.raises(ValueError, match="not a column of right"):
             asof_join(df, df.select("k", "ts"), "k", "k", "ts", "ts", [],
                       tie_col="nope")
+
+
+class TestAsofForward:
+    def test_forward_basic(self, spark):
+        got = _join(
+            spark,
+            [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")],
+            [(1, 12, 200.0, 2), (1, 25, 300.0, 3), (2, 5, 100.0, 1)],
+            direction="forward",
+        )
+        assert got[(1, 10)] == (200.0, 2)    # earliest at-or-after 10 is 12
+        assert got[(1, 20)] == (300.0, 3)
+        assert got[(2, 15)] == (None, None)  # only earlier right rows
+
+    def test_forward_exact_and_strict(self, spark):
+        left = [(1, 10, "a")]
+        right = [(1, 10, 50.0, 1), (1, 30, 60.0, 2)]
+        assert _join(spark, left, right, direction="forward")[(1, 10)] == (50.0, 1)
+        assert _join(spark, left, right, direction="forward",
+                     strict=True)[(1, 10)] == (60.0, 2)
+
+    def test_forward_null_ts_left_matches_nothing(self, spark):
+        """desc sort defaults to NULLS LAST, which would hand a NULL-ts
+        left row the whole right history — pinned to match nothing."""
+        left = spark.createDataFrame([(1, None, "nullts")],
+                                     "k long, ts long, lbl string")
+        right = spark.createDataFrame([(1, 5, 9.0, 1)],
+                                      "k long, ts long, v double, rid long")
+        row = asof_join(left, right, "k", "k", "ts", "ts", ["v"],
+                        tie_col="rid", direction="forward").collect()[0]
+        assert row["v"] is None
+
+    def test_forward_matches_pandas_merge_asof(self, spark):
+        rng = np.random.default_rng(11)
+        lpd = pd.DataFrame({
+            "k": rng.integers(0, 10, 300),
+            "ts": rng.choice(np.arange(0, 9_000, 3), 300, replace=False).astype("int64"),
+        })
+        rpd = pd.DataFrame({
+            "k": rng.integers(0, 10, 250),
+            "ts": rng.choice(np.arange(1, 9_000, 7), 250, replace=False).astype("int64"),
+            "v": rng.normal(size=250).round(6),
+        }).drop_duplicates(["k", "ts"])
+        rpd["rid"] = np.arange(len(rpd))
+        exp = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"),
+            on="ts", by="k", direction="forward",
+        ).sort_values(["k", "ts"]).reset_index(drop=True)
+        got = (
+            asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                      "k", "k", "ts", "ts", ["v", "rid"], tie_col="rid",
+                      direction="forward")
+            .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "ts", "v", "rid"]], exp[["k", "ts", "v", "rid"]],
+            check_dtype=False,
+        )
+
+    def test_bad_direction_raises(self, spark):
+        df = spark.createDataFrame([(1, 2, 3.0)], "k long, ts long, v double")
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(df, df.select("k", "ts"), "k", "k", "ts", "ts", [],
+                      direction="nearest")

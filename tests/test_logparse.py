@@ -343,3 +343,47 @@ class TestGrok:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="malformed grok reference"):
             grok_to_regex(r"%{WORD:status-code} tail")
+
+
+class TestGrokLibraryAdditions:
+    def test_new_patterns_match(self):
+        import re as _re
+        from redeye_spark.functions.grok import grok_to_regex
+
+        rx, fields = grok_to_regex(
+            r"%{TIMESTAMP_ISO8601:t} %{UUID:u} %{URIPATH:p} %{EMAILADDRESS:e}"
+        )
+        m = _re.match(rx, "2024-01-15T10:30:00Z 123e4567-e89b-12d3-a456-426614174000 "
+                          "/api/v1/items me@example.com")
+        assert m and m.group(1) == "2024-01-15T10:30:00Z"
+        assert m.group(3) == "/api/v1/items"
+        assert fields == ["t", "u", "p", "e"]
+
+    def test_syslog_timestamp(self):
+        import re as _re
+        from redeye_spark.functions.grok import grok_to_regex
+
+        rx, _ = grok_to_regex(r"%{SYSLOGTIMESTAMP:t} %{GREEDYDATA:msg}")
+        assert _re.match(rx, "Mar  7 06:25:01 CRON session opened")
+
+    def test_extra_patterns_extend_and_override(self, spark):
+        from redeye_spark.functions.grok import grok_extract
+
+        df = spark.createDataFrame([(1, "order ORD-12345 shipped")],
+                                   ["doc_id", "line"])
+        got = grok_extract(
+            df, r"order %{ORDERID:oid} %{WORD:state}",
+            extra_patterns={"ORDERID": r"ORD-\d+"},
+        ).collect()[0]
+        assert got["oid"] == "ORD-12345" and got["state"] == "shipped"
+        assert got["grok_match"] is True
+
+    def test_extra_pattern_capture_group_rejected(self):
+        import pytest as _pytest
+        from redeye_spark.functions.grok import grok_to_regex
+
+        with _pytest.raises(ValueError, match="capturing group"):
+            grok_to_regex(r"%{BAD:x}", extra_patterns={"BAD": r"(\d+)"})
+        # non-capturing and escaped parens are fine
+        rx, _ = grok_to_regex(r"%{OK:x}", extra_patterns={"OK": r"(?:a|b)\("})
+        assert rx
