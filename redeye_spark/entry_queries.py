@@ -2540,3 +2540,48 @@ FROM base
 
 QUERIES.update({"grok_app_log": q_grok_app_log})
 ORACLES.update({"grok_app_log": _grok_app_oracle_sql()})
+
+
+def q_multiline_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline log assembly (Logstash multiline-codec semantics):
+    continuation lines (leading whitespace — stack-trace frames) fold
+    into their preceding anchor line, scoped per source stream. Pure
+    JVM: running last(IGNORE NULLS) window for ownership + ordered
+    array re-aggregation; the oracle re-derives the same blocks with
+    IGNORE NULLS last_value + ordered string_agg in DuckDB."""
+    from .operators.multiline import assemble_multiline
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.selectExpr(
+        "event_type AS source",
+        "event_id",
+        "CASE WHEN CAST(event_id % 5 AS INT) IN (3, 4) "
+        "     THEN '    at frame-' || CAST(event_id AS STRING) "
+        "     ELSE 'ERROR event ' || CAST(event_id AS STRING) || ' failed' END AS line",
+    )
+    return assemble_multiline(lines, group_col="source", id_col="event_id")
+
+
+SQL_MULTILINE_ASSEMBLE = r"""
+WITH lines AS (
+  SELECT event_type AS source, event_id,
+         CASE WHEN CAST(event_id % 5 AS INT) IN (3, 4)
+              THEN '    at frame-' || CAST(event_id AS VARCHAR)
+              ELSE 'ERROR event ' || CAST(event_id AS VARCHAR) || ' failed' END AS line
+  FROM events
+),
+owned AS (
+  SELECT *,
+         last_value(CASE WHEN NOT regexp_matches(line, '^\s') THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY source ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS anchor_id
+  FROM lines
+)
+SELECT source, anchor_id, COUNT(*) AS n_lines,
+       string_agg(line, chr(10) ORDER BY event_id) AS assembled
+FROM owned GROUP BY source, anchor_id
+"""
+
+
+QUERIES.update({"multiline_assemble": q_multiline_assemble})
+ORACLES.update({"multiline_assemble": SQL_MULTILINE_ASSEMBLE})

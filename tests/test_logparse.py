@@ -387,3 +387,65 @@ class TestGrokLibraryAdditions:
         # non-capturing and escaped parens are fine
         rx, _ = grok_to_regex(r"%{OK:x}", extra_patterns={"OK": r"(?:a|b)\("})
         assert rx
+
+
+class TestMultilineAssembly:
+    def _assemble(self, spark, rows):
+        from redeye_spark.operators.multiline import assemble_multiline
+
+        df = spark.createDataFrame(rows, "source string, doc_id long, line string")
+        return {(r["source"], r["anchor_id"]): (r["n_lines"], r["assembled"])
+                for r in assemble_multiline(df).collect()}
+
+    def test_stack_trace_folds_into_anchor(self, spark):
+        got = self._assemble(spark, [
+            ("a", 1, "ERROR boom"),
+            ("a", 2, "  at Foo.bar(Foo.java:1)"),
+            ("a", 3, "  at Baz.qux(Baz.java:9)"),
+            ("a", 4, "INFO fine"),
+        ])
+        assert got[("a", 1)] == (3, "ERROR boom\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:9)")
+        assert got[("a", 4)] == (1, "INFO fine")
+
+    def test_orphan_continuations_kept_not_dropped(self, spark):
+        got = self._assemble(spark, [
+            ("a", 1, "  dangling continuation"),
+            ("a", 2, "INFO first anchor"),
+        ])
+        assert got[("a", None)] == (1, "  dangling continuation")
+        assert got[("a", 2)] == (1, "INFO first anchor")
+
+    def test_groups_are_independent(self, spark):
+        got = self._assemble(spark, [
+            ("a", 1, "ERROR x"),
+            ("b", 2, "  continuation in b only"),
+            ("b", 3, "WARN y"),
+        ])
+        assert got[("a", 1)][0] == 1
+        assert got[("b", None)][0] == 1    # b's continuation can't join a's anchor
+        assert got[("b", 3)][0] == 1
+
+    def test_assembled_blocks_feed_the_grok_parser(self, spark):
+        """Composition: assemble first, then parse the anchor line of
+        each block — the upstream step the fixed parsers assume."""
+        from pyspark.sql import functions as F
+
+        from redeye_spark.functions.grok import grok_extract
+        from redeye_spark.operators.multiline import assemble_multiline
+
+        df = spark.createDataFrame(
+            [("a", 1, "ERROR worker-7 failed"),
+             ("a", 2, "  at Foo.bar"),
+             ("a", 3, "INFO worker-9 ok")],
+            "source string, doc_id long, line string",
+        )
+        blocks = assemble_multiline(df).withColumn(
+            "first_line", F.split(F.col("assembled"), "\n")[0]
+        )
+        got = grok_extract(
+            blocks, r"%{LOGLEVEL:level} %{NOTSPACE:worker} %{GREEDYDATA:msg}",
+            line_col="first_line", keep=["anchor_id"],
+        ).collect()
+        by_anchor = {r["anchor_id"]: r for r in got}
+        assert by_anchor[1]["level"] == "ERROR" and by_anchor[1]["worker"] == "worker-7"
+        assert by_anchor[3]["level"] == "INFO"
