@@ -86,8 +86,11 @@ def ensure_corpus(path: str, n: int) -> None:
         from redeye_spark.sources.datagen import write_input_table
 
         # many files => split-parallel scans with no repartition shuffle,
-        # and clean round-robin sharding across executors
-        write_input_table(path, n, fmt="combined", seed=SEED, chunk=max(10_000, n // 64))
+        # and clean round-robin sharding across executors; the min()
+        # bound guarantees >= N_EXECUTORS_HI files so tiny smoke corpora
+        # still give every shard at least one file
+        chunk = max(1, min(n // max(N_EXECUTORS_HI, 1), max(10_000, n // 64)))
+        write_input_table(path, n, fmt="combined", seed=SEED, chunk=chunk)
         open(marker, "w").write(str(n))
     # shard into N_EXECUTORS_HI disjoint hardlink dirs
     files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))

@@ -1,0 +1,95 @@
+"""Table maintenance: small-file compaction.
+
+A streaming/checkpointed pipeline appending micro-batches (or per-chunk
+commits) accretes many small files per sink; at 100 TB the scan-side
+cost is real — every file is an open/footer-parse/seek, task scheduling
+is per-split, and the NameNode/object-store listing grows unbounded.
+Iceberg deployments run `rewrite_data_files`; this is the same
+operation for the Parquet layout: rewrite a table into
+size-targeted files, preserving rows, schema, and partition layout.
+
+Design notes:
+- File count target = ceil(on-disk bytes / target_file_bytes), measured
+  from the actual file listing — not row counts, which mispredict width.
+- Unpartitioned tables use a round-robin `repartition(n)`: even output
+  sizes, one shuffle, no skew sensitivity. Partitioned tables
+  `repartition(n, *partition_cols)` so each output task writes into few
+  partitions (the maxConcurrentOutputFileWriters path stays cheap);
+  dynamic-partition-overwrite keeps the rewrite idempotent per
+  partition.
+- The rewrite goes through a temp table then an atomic directory swap,
+  so a crash mid-compaction leaves the original table intact (the same
+  idempotence discipline as plans/checkpoint.py commits).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from ..sources.io import ParquetIO
+
+
+def table_file_stats(io: ParquetIO, table: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) from the on-disk listing."""
+    root = io.location(table)
+    n, total = 0, 0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return n, total
+
+
+def compact_table(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+    min_files_to_compact: int = 4,
+) -> dict:
+    """Rewrite `table` into ~target-size files. Returns a stats dict
+    (files/bytes before and after, whether a rewrite ran). No-op when
+    the table already has fewer than `min_files_to_compact` files —
+    compaction must be safe to run on a schedule."""
+    files_before, bytes_before = table_file_stats(io, table)
+    if files_before < min_files_to_compact:
+        return {
+            "table": table, "rewritten": False,
+            "files_before": files_before, "bytes_before": bytes_before,
+            "files_after": files_before,
+        }
+    n_out = max(1, -(-bytes_before // target_file_bytes))  # ceil
+    df = io.read(spark, table)
+    if partition_by:
+        out = df.repartition(int(n_out), *partition_by)
+    else:
+        out = df.repartition(int(n_out))
+
+    tmp = f"{table}__compacting"
+    io.delete(spark, tmp)
+    io.write(out, tmp, mode="overwrite", partition_by=partition_by)
+
+    # swap: the table dir is replaced only after the rewrite fully
+    # committed; a crash before the rename leaves the original intact
+    old, new = io.location(table), io.location(tmp)
+    backup = io.location(f"{table}__precompact")
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(old, backup)
+    try:
+        os.rename(new, old)
+    except OSError:
+        os.rename(backup, old)  # roll back; tmp left for inspection
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+
+    files_after, bytes_after = table_file_stats(io, table)
+    return {
+        "table": table, "rewritten": True,
+        "files_before": files_before, "bytes_before": bytes_before,
+        "files_after": files_after, "bytes_after": bytes_after,
+    }

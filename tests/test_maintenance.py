@@ -1,0 +1,76 @@
+"""Small-file compaction (plans/maintenance.py): rows/schema/partition
+layout preserved, file counts actually shrink, no-op guard, crash
+safety via the swap protocol."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redeye_spark.plans import maintenance
+from redeye_spark.sources.io import ParquetIO
+
+
+@pytest.fixture()
+def io(tmp_path):
+    return ParquetIO(str(tmp_path))
+
+
+def _fragmented(spark, io, table, n_files=24, partition_by=None):
+    df = spark.range(3000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    io.write(df.repartition(n_files), table, partition_by=partition_by)
+    return df
+
+
+class TestCompaction:
+    def test_shrinks_files_preserves_rows(self, spark, io):
+        _fragmented(spark, io, "t")
+        before, _ = maintenance.table_file_stats(io, "t")
+        assert before >= 24
+        stats = maintenance.compact_table(spark, io, "t", target_file_bytes=1 << 30)
+        assert stats["rewritten"] and stats["files_after"] < before
+        assert stats["files_after"] == 1  # everything fits one target file
+        got = io.read(spark, "t")
+        assert got.count() == 3000
+        assert got.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
+
+    def test_partition_layout_preserved(self, spark, io):
+        _fragmented(spark, io, "p", partition_by=["part"])
+        stats = maintenance.compact_table(
+            spark, io, "p", target_file_bytes=1 << 30, partition_by=["part"]
+        )
+        assert stats["rewritten"]
+        root = io.location("p")
+        parts = {d for d in os.listdir(root) if d.startswith("part=")}
+        assert parts == {"part=0", "part=1", "part=2"}
+        got = io.read(spark, "p")
+        assert got.count() == 3000
+        # partition pruning still works on the compacted layout
+        assert got.filter(F.col("part") == "1").count() == 1000
+
+    def test_noop_below_threshold(self, spark, io):
+        df = spark.range(10)
+        io.write(df.coalesce(1), "small")
+        stats = maintenance.compact_table(spark, io, "small")
+        assert stats["rewritten"] is False
+        assert io.read(spark, "small").count() == 10
+
+    def test_no_leftover_temp_dirs(self, spark, io):
+        _fragmented(spark, io, "t2")
+        maintenance.compact_table(spark, io, "t2", target_file_bytes=1 << 30)
+        leftovers = [d for d in os.listdir(io.base_dir)
+                     if "__compacting" in d or "__precompact" in d]
+        assert leftovers == []
+
+    def test_target_size_splits_output(self, spark, io):
+        _fragmented(spark, io, "t3")
+        _, total = maintenance.table_file_stats(io, "t3")
+        stats = maintenance.compact_table(
+            spark, io, "t3", target_file_bytes=max(1, total // 4)
+        )
+        assert stats["rewritten"]
+        assert 2 <= stats["files_after"] <= 8  # ~4 target files, repartition exact
