@@ -82,6 +82,13 @@ def _corpus_rows() -> int:
 
 def ensure_corpus(path: str, n: int) -> None:
     marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        # a corpus generated under an older chunking (or a raised
+        # REDEYE_EXEC_HI) can have fewer files than executors — the
+        # round-robin shard loop would then hand empty dirs out
+        n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        if n_files < N_EXECUTORS_HI:
+            shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(marker):
         from redeye_spark.sources.datagen import write_input_table
 

@@ -2411,8 +2411,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = text_op.quality_score(docs)
     kept = scored.filter(F.col("quality") >= 0.5)
-    keep_ids = dedup_op.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    deduped = kept.join(keep_ids, "doc_id", "left_semi")
+    # window-based dedup filter: ONE scan of the scored frame — the
+    # aggregate + self-semi-join formulation re-executes the regex
+    # quality metrics on both join branches
+    deduped = dedup_op.exact_dedup_filter(kept)
     split_df = sampling.train_val_test_split(deduped)
     return split_df.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -52,9 +52,24 @@ GROK_PATTERNS: dict[str, str] = {
 }
 
 _REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
-# an unescaped "(" not followed by "?" opens a capturing group, which
-# would silently shift every later field's extract index
-_CAPTURING = re.compile(r"(?<!\\)\((?!\?)")
+
+
+def _has_capturing_group(body: str) -> bool:
+    """True when the regex body opens a capturing group — an unescaped
+    "(" not followed by "?". A lookbehind on a single backslash is not
+    enough: in r"x\\(\d+)" the first backslash escapes the SECOND, so
+    the "(" is live; only a character-walk that consumes escape pairs
+    classifies it correctly."""
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\":
+            i += 2  # escape consumes the next char, whatever it is
+            continue
+        if c == "(" and (i + 1 >= n or body[i + 1] != "?"):
+            return True
+        i += 1
+    return False
 
 
 def grok_to_regex(
@@ -71,7 +86,7 @@ def grok_to_regex(
     lib = GROK_PATTERNS
     if extra_patterns:
         for name, body in extra_patterns.items():
-            if _CAPTURING.search(body):
+            if _has_capturing_group(body):
                 raise ValueError(
                     f"extra pattern {name!r} contains a capturing group — "
                     "use (?:...) so field indexes stay aligned"

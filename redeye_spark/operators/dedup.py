@@ -51,6 +51,28 @@ def exact_dedup(
     ).drop(text_col).select("keep_id", "dup_count")
 
 
+def exact_dedup_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep only the lowest-id row of each exact-text duplicate group —
+    the filter-shaped twin of exact_dedup (which reports groups).
+
+    One window (`row_number` over text, ordered by id) instead of
+    aggregate + self-semi-join: the input is scanned ONCE and shuffled
+    once, where the join formulation scans and shuffles the (possibly
+    expensively derived) input twice. Worth it whenever the frame being
+    deduped is the output of real work (scoring, parsing), not a bare
+    table scan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_dd_rn", F.row_number().over(w))
+        .filter(F.col("_dd_rn") == 1)
+        .drop("_dd_rn")
+    )
+
+
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)

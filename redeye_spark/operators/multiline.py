@@ -33,15 +33,17 @@ DEFAULT_CONT_RE = r"^\s"
 
 def assemble_multiline(
     df: DataFrame,
-    group_col: str = "source",
-    id_col: str = "doc_id",
+    group_col: str,
+    id_col: str,
     line_col: str = "line",
     cont_re: str = DEFAULT_CONT_RE,
     sep: str = "\n",
 ) -> DataFrame:
     """Collapse continuation lines into (group, anchor_id, n_lines,
-    assembled) blocks. `id_col` must be orderable and unique within a
-    group (a file offset, a monotonically increasing id)."""
+    assembled) blocks. `id_col` must sort in arrival order within a
+    group — a file offset or numeric line number. It is deliberately
+    required (no default): this repo's string doc ids ("ev-10" < "ev-9")
+    sort lexicographically and would interleave blocks silently."""
     is_anchor = ~F.col(line_col).rlike(cont_re)
     w = (
         Window.partitionBy(group_col)

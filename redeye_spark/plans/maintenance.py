@@ -27,9 +27,18 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from ..sources.io import ParquetIO
+
+
+def _count_partition_dirs(root: str, first_partition_col: str) -> int:
+    try:
+        return sum(
+            1 for d in os.listdir(root) if d.startswith(f"{first_partition_col}=")
+        )
+    except FileNotFoundError:
+        return 0
 
 
 def table_file_stats(io: ParquetIO, table: str) -> tuple[int, int]:
@@ -55,7 +64,22 @@ def compact_table(
     """Rewrite `table` into ~target-size files. Returns a stats dict
     (files/bytes before and after, whether a rewrite ran). No-op when
     the table already has fewer than `min_files_to_compact` files —
-    compaction must be safe to run on a schedule."""
+    compaction must be safe to run on a schedule.
+
+    The swap window (two renames) is small but not atomic: a hard kill
+    between them leaves the table parked at `<table>__precompact`. The
+    next run (or any caller) recovers it automatically below, so a
+    scheduled job self-heals instead of no-op'ing on a missing table."""
+    if not isinstance(io, ParquetIO):
+        raise TypeError(
+            "compact_table only understands the Parquet directory layout; "
+            "for Iceberg tables run the catalog's rewrite_data_files "
+            "procedure instead"
+        )
+    backup = io.location(f"{table}__precompact")
+    if not os.path.isdir(io.location(table)) and os.path.isdir(backup):
+        # a previous run died inside the swap window — finish the rollback
+        os.rename(backup, io.location(table))
     files_before, bytes_before = table_file_stats(io, table)
     if files_before < min_files_to_compact:
         return {
@@ -66,7 +90,20 @@ def compact_table(
     n_out = max(1, -(-bytes_before // target_file_bytes))  # ceil
     df = io.read(spark, table)
     if partition_by:
-        out = df.repartition(int(n_out), *partition_by)
+        # Hashing only the partition columns would collapse each
+        # partition value onto ONE task => one (possibly huge) file per
+        # partition, ignoring the size target. A deterministic salt
+        # splits big partitions across ~splits tasks; small partitions
+        # still coalesce because the pre-write repartition bounds total
+        # task count at n_out.
+        n_parts = max(1, _count_partition_dirs(io.location(table), partition_by[0]))
+        splits = max(1, -(-int(n_out) // n_parts))
+        salted = df.withColumn(
+            "_compact_salt", (F.rand(seed=42) * splits).cast("int")
+        )
+        out = salted.repartition(int(n_out), *partition_by, "_compact_salt").drop(
+            "_compact_salt"
+        )
     else:
         out = df.repartition(int(n_out))
 
@@ -75,9 +112,9 @@ def compact_table(
     io.write(out, tmp, mode="overwrite", partition_by=partition_by)
 
     # swap: the table dir is replaced only after the rewrite fully
-    # committed; a crash before the rename leaves the original intact
+    # committed; a crash before the first rename leaves the original
+    # intact, and a crash between the renames is recovered at entry
     old, new = io.location(table), io.location(tmp)
-    backup = io.location(f"{table}__precompact")
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(old, backup)
     try:

@@ -395,7 +395,7 @@ class TestMultilineAssembly:
 
         df = spark.createDataFrame(rows, "source string, doc_id long, line string")
         return {(r["source"], r["anchor_id"]): (r["n_lines"], r["assembled"])
-                for r in assemble_multiline(df).collect()}
+                for r in assemble_multiline(df, "source", "doc_id").collect()}
 
     def test_stack_trace_folds_into_anchor(self, spark):
         got = self._assemble(spark, [
@@ -439,7 +439,7 @@ class TestMultilineAssembly:
              ("a", 3, "INFO worker-9 ok")],
             "source string, doc_id long, line string",
         )
-        blocks = assemble_multiline(df).withColumn(
+        blocks = assemble_multiline(df, "source", "doc_id").withColumn(
             "first_line", F.split(F.col("assembled"), "\n")[0]
         )
         got = grok_extract(
@@ -449,3 +449,20 @@ class TestMultilineAssembly:
         by_anchor = {r["anchor_id"]: r for r in got}
         assert by_anchor[1]["level"] == "ERROR" and by_anchor[1]["worker"] == "worker-7"
         assert by_anchor[3]["level"] == "INFO"
+
+
+class TestGrokEscapeGuard:
+    def test_escaped_backslash_before_group_still_rejected(self):
+        """r'x\\(\d+)' is a literal backslash followed by a REAL
+        capturing group — a single-lookbehind guard misses it."""
+        import pytest as _pytest
+        from redeye_spark.functions.grok import grok_to_regex
+
+        with _pytest.raises(ValueError, match="capturing group"):
+            grok_to_regex(r"%{B:x}", extra_patterns={"B": "x\\\\(\\d+)"})
+
+    def test_escaped_paren_allowed(self):
+        from redeye_spark.functions.grok import grok_to_regex
+
+        rx, _ = grok_to_regex(r"%{OK:x}", extra_patterns={"OK": r"a\(b\)"})
+        assert rx

@@ -74,3 +74,40 @@ class TestCompaction:
         )
         assert stats["rewritten"]
         assert 2 <= stats["files_after"] <= 8  # ~4 target files, repartition exact
+
+
+class TestCompactionReviewRegressions:
+    def test_recovers_from_crash_between_renames(self, spark, io):
+        """A kill between the two swap renames parks the table at
+        __precompact; the next run must restore it, not no-op."""
+        _fragmented(spark, io, "c")
+        os.rename(io.location("c"), io.location("c__precompact"))
+        stats = maintenance.compact_table(spark, io, "c", target_file_bytes=1 << 30)
+        assert stats["rewritten"] and os.path.isdir(io.location("c"))
+        assert io.read(spark, "c").count() == 3000
+
+    def test_partitioned_compaction_respects_size_target(self, spark, io):
+        """One hot partition must split into ~target-size files, not
+        collapse onto a single task/file."""
+        _fragmented(spark, io, "hot", partition_by=["part"])
+        _, total = maintenance.table_file_stats(io, "hot")
+        stats = maintenance.compact_table(
+            spark, io, "hot", target_file_bytes=max(1, total // 12),
+            partition_by=["part"],
+        )
+        assert stats["rewritten"]
+        # 3 partitions x >1 file each: the salt actually split them
+        per_part = {}
+        for d in os.listdir(io.location("hot")):
+            if d.startswith("part="):
+                per_part[d] = sum(
+                    1 for f in os.listdir(os.path.join(io.location("hot"), d))
+                    if f.endswith(".parquet"))
+        assert all(v >= 2 for v in per_part.values()), per_part
+        assert io.read(spark, "hot").count() == 3000
+
+    def test_iceberg_io_rejected(self, spark):
+        from redeye_spark.sources.io import IcebergIO
+
+        with pytest.raises(TypeError, match="rewrite_data_files"):
+            maintenance.compact_table(spark, IcebergIO("cat"), "t")
