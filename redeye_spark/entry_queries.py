@@ -142,7 +142,14 @@ def _spark_lines(spark: SparkSession, sf_dir: str, fmt: str = FORMAT_COMMON) -> 
 def _parsed(spark: SparkSession, sf_dir: str, carry_tokens: bool = False,
             fmt: str = FORMAT_COMMON) -> DataFrame:
     raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir, fmt))
-    return parse_op.parse_sequences(raw, fmt=fmt, carry_tokens=carry_tokens)
+    # explicit round-robin repartition before the parse UDF: the sf
+    # testdata is one parquet file, so without it the whole parse runs
+    # on ONE core (2-3x wall at sf0.1). Row-wise op — the result set is
+    # partitioning-invariant, so every oracle hash is unaffected.
+    return parse_op.parse_sequences(
+        raw, fmt=fmt, carry_tokens=carry_tokens,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _oracle_base() -> str:
@@ -1354,7 +1361,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = _spark_lines(spark, sf_dir).select(
         "doc_id",
         F.concat(F.col("line"), F.lit(" "), F.col("doc_id"), F.lit("@example.net")).alias("text"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     return text_op.redact_pii(lines).select("doc_id", "text_redacted")
 
 
@@ -1905,7 +1912,11 @@ def q_grok_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs the IDENTICAL compiled regex through DuckDB's RE2."""
     from .functions.grok import grok_extract
 
-    lines = _spark_lines(spark, sf_dir)
+    # single-file testdata: spread the k regexp_extract passes across
+    # cores (round-robin; row-wise, oracle-hash-invariant)
+    lines = _spark_lines(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pattern = (
         r"%{IPORHOST:remote_host} %{USER:ident} %{USER:user} "
         r"\[%{HTTPDATE:ts}\] "
@@ -2515,7 +2526,7 @@ def q_grok_app_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = ev.selectExpr(
         "'ev-' || CAST(event_id AS STRING) AS doc_id",
         f"{_app_line_sql('spark')} AS line",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     return grok_extract(lines, _GROK_APP_PATTERN, keep=["doc_id"])
 
 
