@@ -49,7 +49,19 @@ GROK_PATTERNS: dict[str, str] = {
     "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
     "URIPATH": r"/[^\s?#]*",
     "EMAILADDRESS": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # Composite patterns (references expand recursively, captures and
+    # all — the canonical grok shapes for exactly the log format the
+    # reference parses; field names follow the Logstash definitions)
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} '
+        r'\[%{HTTPDATE:timestamp}\] '
+        r'"%{WORD:verb} %{NOTSPACE:request} %{NOTSPACE:httpversion}" '
+        r'(?:%{INT:response}|-) (?:%{INT:bytes}|-)'
+    ),
+    "COMBINEDAPACHELOG": r'%{COMMONAPACHELOG} "%{DATA:referrer}" "%{DATA:agent}"',
 }
+
+_MAX_EXPANSION_DEPTH = 10
 
 _REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
@@ -94,17 +106,31 @@ def grok_to_regex(
         lib = {**GROK_PATTERNS, **extra_patterns}
     fields: list[str] = []
 
-    def sub(m: re.Match) -> str:
-        name, field = m.group(1), m.group(2)
-        if name not in lib:
-            raise ValueError(f"unknown grok pattern %{{{name}}}")
-        body = lib[name]
-        if field:
-            fields.append(field)
-            return f"({body})"
-        return f"(?:{body})"
+    def expand(p: str, depth: int) -> str:
+        # Recursive descent, not iterative passes: re.sub walks the
+        # references left-to-right and each callback appends its own
+        # field BEFORE recursing into the body, so `fields` ends up in
+        # exactly the regex's "(" order — a pass-until-done loop would
+        # append a composite's inner fields after its right-hand
+        # neighbors and silently misalign every extract index.
+        if depth > _MAX_EXPANSION_DEPTH:
+            raise ValueError(
+                f"grok pattern expansion exceeded depth {_MAX_EXPANSION_DEPTH} "
+                "— circular pattern reference?"
+            )
 
-    compiled = _REF.sub(sub, pattern)
+        def sub(m: re.Match) -> str:
+            name, field = m.group(1), m.group(2)
+            if name not in lib:
+                raise ValueError(f"unknown grok pattern %{{{name}}}")
+            if field:
+                fields.append(field)
+            body = expand(lib[name], depth + 1)
+            return f"({body})" if field else f"(?:{body})"
+
+        return _REF.sub(sub, p)
+
+    compiled = expand(pattern, 0)
     if "%{" in compiled:
         # a reference _REF could not parse (e.g. %{WORD:status-code}) would
         # otherwise pass through verbatim and blow up as an illegal Java

@@ -466,3 +466,76 @@ class TestGrokEscapeGuard:
 
         rx, _ = grok_to_regex(r"%{OK:x}", extra_patterns={"OK": r"a\(b\)"})
         assert rx
+
+
+class TestGrokComposites:
+    def test_combinedapachelog_parses_real_combined_line(self):
+        import re as _re
+        from redeye_spark.functions.grok import grok_to_regex
+
+        rx, fields = grok_to_regex(r"%{COMBINEDAPACHELOG}")
+        line = ('10.1.2.3 - frank [10/Oct/2000:13:55:36 -0700] '
+                '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+                '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"')
+        m = _re.match(rx, line)
+        assert m, rx
+        got = dict(zip(fields, m.groups()))
+        assert got["clientip"] == "10.1.2.3"
+        assert got["auth"] == "frank"
+        assert got["verb"] == "GET" and got["request"] == "/apache_pb.gif"
+        assert got["response"] == "200" and got["bytes"] == "2326"
+        assert got["referrer"] == "http://www.example.com/start.html"
+        assert got["agent"].startswith("Mozilla/4.08")
+
+    def test_composite_field_order_matches_group_order(self):
+        """A composite's inner fields must land between its left and
+        right neighbors, exactly like the regex's '(' order — the
+        misalignment a pass-until-done expansion would cause."""
+        import re as _re
+        from redeye_spark.functions.grok import grok_to_regex
+
+        rx, fields = grok_to_regex(r"%{WORD:pre} %{COMMONAPACHELOG} %{WORD:tail}")
+        assert fields[0] == "pre" and fields[-1] == "tail"
+        line = ('X 10.0.0.1 - bob [10/Oct/2000:13:55:36 -0700] '
+                '"GET / HTTP/1.0" 200 99 Y')
+        m = _re.match(rx, line)
+        assert m
+        got = dict(zip(fields, m.groups()))
+        assert got["pre"] == "X" and got["tail"] == "Y"
+        assert got["clientip"] == "10.0.0.1" and got["response"] == "200"
+
+    def test_dash_status_and_bytes_leave_fields_empty_but_match(self):
+        import re as _re
+        from redeye_spark.functions.grok import grok_to_regex
+
+        rx, fields = grok_to_regex(r"%{COMMONAPACHELOG}")
+        line = '10.0.0.1 - - [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.0" - -'
+        m = _re.match(rx, line)
+        assert m
+        got = dict(zip(fields, m.groups()))
+        assert got["response"] is None and got["bytes"] is None
+
+    def test_circular_reference_detected(self):
+        import pytest as _pytest
+        from redeye_spark.functions.grok import grok_to_regex
+
+        with _pytest.raises(ValueError, match="circular"):
+            grok_to_regex(r"%{A:x}", extra_patterns={"A": r"%{B}", "B": r"%{A}"})
+
+    def test_composite_through_spark_and_duckdb(self, spark):
+        """The composite compiles to the same engine-portable regex
+        contract as flat patterns: spark regexp_extract == DuckDB."""
+        import duckdb
+        from redeye_spark.functions.grok import grok_extract, grok_to_regex
+
+        line = ('10.1.2.3 - frank [10/Oct/2000:13:55:36 -0700] '
+                '"GET /x HTTP/1.0" 404 12 "-" "curl/8.4.0"')
+        df = spark.createDataFrame([(1, line)], ["doc_id", "line"])
+        row = grok_extract(df, r"%{COMBINEDAPACHELOG}").collect()[0]
+        rx, fields = grok_to_regex(r"%{COMBINEDAPACHELOG}")
+        esc = rx.replace("'", "''")
+        i = fields.index("response") + 1
+        duck = duckdb.sql(
+            f"SELECT regexp_extract('{line.replace(chr(39), chr(39)*2)}', '{esc}', {i}) AS r"
+        ).fetchone()[0]
+        assert row["response"] == duck == "404"
