@@ -242,3 +242,42 @@ class TestAsofForward:
         with pytest.raises(ValueError, match="direction"):
             asof_join(df, df.select("k", "ts"), "k", "k", "ts", "ts", [],
                       direction="nearest")
+
+
+class TestAsofProperty:
+    def test_random_inputs_with_ties_match_reference(self, spark):
+        """Property check vs a brute-force reference that handles what
+        merge_asof leaves ambiguous: duplicate right timestamps per key
+        (max-tie_col wins) and duplicate left rows."""
+        rng = np.random.default_rng(99)
+        for trial in range(3):
+            lpd = pd.DataFrame({
+                "k": rng.integers(0, 5, 120),
+                "ts": rng.integers(0, 80, 120),   # dense -> many exact ties
+            })
+            rpd = pd.DataFrame({
+                "k": rng.integers(0, 5, 90),
+                "ts": rng.integers(0, 80, 90),
+                "v": rng.normal(size=90).round(4),
+                "rid": np.arange(90),
+            })
+
+            def ref_row(lk, lt):
+                cand = rpd[(rpd["k"] == lk) & (rpd["ts"] <= lt)]
+                if cand.empty:
+                    return (None, None)
+                best = cand.sort_values(["ts", "rid"]).iloc[-1]
+                return (best["v"], best["rid"])
+
+            exp = {
+                (r.k, r.ts): ref_row(r.k, r.ts)
+                for r in lpd.drop_duplicates(["k", "ts"]).itertuples()
+            }
+            got_rows = asof_join(
+                spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                "k", "k", "ts", "ts", ["v", "rid"], tie_col="rid",
+            ).collect()
+            assert len(got_rows) == len(lpd)  # duplicates preserved
+            for r in got_rows:
+                ev, er = exp[(r["k"], r["ts"])]
+                assert (r["v"], r["rid"]) == (ev, er), (trial, r)
