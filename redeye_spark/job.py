@@ -65,6 +65,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="also write ok rows as JSON lines (the reference's primary "
              "output mode, src/bin/redeye.rs:86-87) to <output>/events_json",
     )
+    p.add_argument(
+        "--text-input", action="store_true",
+        help="treat --input as raw .log text files (the reference's stdin "
+             "mode, src/bin/redeye.rs:82) instead of a tokenized parquet "
+             "table; lines are tokenized on the fly, doc_id = file#line_no",
+    )
     p.add_argument("--master", default=None, help="override master (tests); omit under spark-submit")
     return p
 
@@ -96,7 +102,12 @@ def main(argv: list[str] | None = None) -> int:
         use_salted_agg=not args.no_salted_agg,
     )
     io = resolve_io(spark, args.output)
-    raw = spark.read.parquet(args.input)
+    if args.text_input:
+        from redeye_spark.operators.tokenize_op import read_text_lines
+
+        raw = read_text_lines(spark, args.input)
+    else:
+        raw = spark.read.parquet(args.input)
 
     if args.grok:
         from pyspark.sql import functions as F

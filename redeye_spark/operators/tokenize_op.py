@@ -44,6 +44,46 @@ def tokenize_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
     return df.mapInPandas(fn, schema=RAW_SEQUENCES)
 
 
+def read_text_lines(spark, path: str) -> DataFrame:
+    """Raw log files -> the pipeline's tokenized input shape — the
+    direct analog of the reference's stdin mode (redeye.rs:82 reads
+    plain text lines), for users whose corpus is .log files rather than
+    a pre-tokenized table.
+
+    doc_id is `<file>#<line_no>`: reproducible across runs for a fixed
+    file set (unlike bare monotonically_increasing_id, whose values
+    shift with partitioning), unique, and it preserves provenance.
+    source is the file name. The per-file line numbering is a window
+    per file — each file's lines sit in one split for typical log-file
+    sizes; multi-GB single files should be split upstream (text is not
+    splittable-with-line-numbers without an ordering column anyway).
+    Blank lines are dropped (the reference skips them: a trimmed empty
+    line parses to ParseError and is warned away; here they carry no
+    tokens at all).
+    """
+    from pyspark.sql import Window, functions as F
+
+    raw = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("_file"),
+            F.col("value").alias("line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
+    lines = raw.select(
+        F.concat(
+            F.regexp_extract("_file", r"([^/]+)$", 1),
+            F.lit("#"),
+            F.row_number().over(w).cast("string"),
+        ).alias("doc_id"),
+        F.regexp_extract("_file", r"([^/]+)$", 1).alias("source"),
+        "line",
+    )
+    return tokenize_lines(lines)
+
+
 def detokenize_lines(df: DataFrame, keep: tuple[str, ...] = ("doc_id", "source")) -> DataFrame:
     """(doc_id, tokens, ..., source) -> (<keep...>, line): the standalone
     inverse of tokenize_lines, for consumers that want raw lines WITHOUT

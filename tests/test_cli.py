@@ -103,3 +103,38 @@ def test_grok_rejects_json_sink(raw_dir):
     with pytest.raises(SystemExit):
         job_mod.main(["--grok", "%{WORD:a}", "--input", raw_dir + "/raw",
                       "--output", raw_dir + "/x", "--json-sink"])
+
+
+class TestTextInput:
+    def test_read_text_lines_shape_and_roundtrip(self, spark, tmp_path):
+        from redeye_spark.operators.tokenize_op import read_text_lines
+
+        p = tmp_path / "app.log"
+        lines = ['1.2.3.4 - u1 [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.0" 200 10',
+                 "",  # blank: dropped
+                 '5.6.7.8 - u2 [10/Oct/2000:13:55:37 -0700] "GET /b HTTP/1.0" 404 20']
+        p.write_text("\n".join(lines) + "\n")
+        got = read_text_lines(spark, str(tmp_path)).orderBy("doc_id").collect()
+        assert [r["doc_id"] for r in got] == ["app.log#1", "app.log#2"]
+        assert all(r["source"] == "app.log" for r in got)
+        assert bytes(got[0]["tokens"]).decode() == lines[0]
+        assert got[1]["n_tok"] == len(lines[2])
+
+    def test_cli_text_input_end_to_end(self, spark, tmp_path):
+        import redeye_spark.job as job_mod
+
+        logs = tmp_path / "logs"; logs.mkdir()
+        (logs / "web.log").write_text(
+            '9.9.9.9 - alice [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 99\n'
+            "not a log line\n"
+        )
+        out = tmp_path / "out"
+        rc = job_mod.main(["--common-format", "--text-input",
+                           "--input", str(logs), "--output", str(out),
+                           "--master", "local[2]"])
+        assert rc == 0
+        events = spark.read.parquet(str(out / "events"))
+        rows = {r["doc_id"]: r for r in events.collect()}
+        ok = rows["web.log#1"]
+        assert ok["remote_host"] == "9.9.9.9" and ok["status_code"] == 200
+        assert rows["web.log#2"]["sink"] == "dead_letter"
