@@ -266,8 +266,9 @@ def main() -> None:
     # Warm the session once (python worker spawn + codegen are
     # per-session constants; the exec-scaling legs exclude them via
     # their own warm-up) so the first timed query isn't charged ~5 s of
-    # one-time setup the other queries don't pay.
-    EQ.QUERIES["parse_common"](spark, "/root/testdata/sf0.001") \
+    # one-time setup the other queries don't pay. Uses SF_DIR itself so
+    # relocated testdata doesn't break the harness.
+    EQ.QUERIES["parse_common"](spark, SF_DIR) \
         .write.format("noop").mode("overwrite").save()
     queries: dict[str, float] = {}
     for name in TIMED_QUERIES:

@@ -139,6 +139,14 @@ def _spark_lines(spark: SparkSession, sf_dir: str, fmt: str = FORMAT_COMMON) -> 
     )
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the session's cores: the sf
+    testdata is one parquet file per table, so a regex/UDF-heavy query
+    would otherwise run on ONE core. Row-wise callers only — the
+    result set (and every oracle hash) is partitioning-invariant."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _parsed(spark: SparkSession, sf_dir: str, carry_tokens: bool = False,
             fmt: str = FORMAT_COMMON) -> DataFrame:
     raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir, fmt))
@@ -1358,10 +1366,10 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays them verbatim."""
     from .operators import text as text_op
 
-    lines = _spark_lines(spark, sf_dir).select(
+    lines = _spread(spark, _spark_lines(spark, sf_dir).select(
         "doc_id",
         F.concat(F.col("line"), F.lit(" "), F.col("doc_id"), F.lit("@example.net")).alias("text"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ))
     return text_op.redact_pii(lines).select("doc_id", "text_redacted")
 
 
@@ -1912,11 +1920,7 @@ def q_grok_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs the IDENTICAL compiled regex through DuckDB's RE2."""
     from .functions.grok import grok_extract
 
-    # single-file testdata: spread the k regexp_extract passes across
-    # cores (round-robin; row-wise, oracle-hash-invariant)
-    lines = _spark_lines(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    lines = _spread(spark, _spark_lines(spark, sf_dir))
     pattern = (
         r"%{IPORHOST:remote_host} %{USER:ident} %{USER:user} "
         r"\[%{HTTPDATE:ts}\] "
@@ -2523,10 +2527,10 @@ def q_grok_app_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    lines = ev.selectExpr(
+    lines = _spread(spark, ev.selectExpr(
         "'ev-' || CAST(event_id AS STRING) AS doc_id",
         f"{_app_line_sql('spark')} AS line",
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ))
     return grok_extract(lines, _GROK_APP_PATTERN, keep=["doc_id"])
 
 

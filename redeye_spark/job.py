@@ -96,28 +96,35 @@ def main(argv: list[str] | None = None) -> int:
         )
     cfg = PipelineConfig(
         fmt=FORMAT_COMBINED if args.combined_format else FORMAT_COMMON,
-        num_partitions=args.parallelism,
+        # text mode defaults to a round-robin spread: after the per-file
+        # numbering window, every line of a file sits on ONE reducer, so
+        # an unspread parse would run single-core per file
+        num_partitions=args.parallelism
+        or (spark.sparkContext.defaultParallelism if args.text_input else None),
         bucket_granularity=args.bucket,
         salt_buckets=args.salt_buckets,
         use_salted_agg=not args.no_salted_agg,
     )
     io = resolve_io(spark, args.output)
-    if args.text_input:
-        from redeye_spark.operators.tokenize_op import read_text_lines
-
-        raw = read_text_lines(spark, args.input)
-    else:
-        raw = spark.read.parquet(args.input)
-
     if args.grok:
         from pyspark.sql import functions as F
 
         from redeye_spark.functions.grok import grok_extract
-        from redeye_spark.operators.tokenize_op import detokenize_lines
 
-        lines = detokenize_lines(raw)
-        if args.parallelism:
-            lines = lines.repartition(args.parallelism)
+        if args.text_input:
+            # straight to the line strings — tokenizing and immediately
+            # detokenizing would cost two full Python exchanges for
+            # nothing (grok extracts from the line JVM-side)
+            from redeye_spark.operators.tokenize_op import text_lines_df
+
+            lines = text_lines_df(spark, args.input)
+        else:
+            from redeye_spark.operators.tokenize_op import detokenize_lines
+
+            lines = detokenize_lines(spark.read.parquet(args.input))
+        lines = lines.repartition(
+            args.parallelism or spark.sparkContext.defaultParallelism
+        )
         extracted = grok_extract(lines, args.grok, keep=["doc_id", "source"])
         io.write(extracted, "events_grok")
         back = io.read(spark, "events_grok")
@@ -132,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
         print(json.dumps(stats))
         return 0
+
+    if args.text_input:
+        from redeye_spark.operators.tokenize_op import read_text_lines
+
+        raw = read_text_lines(spark, args.input)
+    else:
+        raw = spark.read.parquet(args.input)
 
     if args.checkpoint_dir:
         if not args.resume:

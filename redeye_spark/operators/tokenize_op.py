@@ -44,44 +44,50 @@ def tokenize_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
     return df.mapInPandas(fn, schema=RAW_SEQUENCES)
 
 
+def text_lines_df(spark, path: str) -> DataFrame:
+    """Raw log files -> (doc_id, source, line) — line strings with
+    provenance ids, NOT yet tokenized (grok-style consumers extract
+    straight from the line and should not pay a tokenize+detokenize
+    round trip).
+
+    doc_id is `<full path>#<physical_line_no>`: reproducible across
+    runs for a fixed file set (unlike bare monotonically_increasing_id,
+    whose values shift with partitioning), unique even when same-named
+    files live in different directories, and it points back at the
+    exact file line. Numbering counts PHYSICAL lines (blank lines are
+    numbered, then dropped), so `sed -n '<n>p' <file>` lands on the
+    offending record. source is the file basename. The per-file
+    numbering window holds each file's lines on one reducer — fine for
+    typical log-file sizes; split multi-GB single files upstream (text
+    has no stable ordering column to parallelize the numbering over).
+    Blank lines are dropped after numbering (the reference warns-and-
+    skips a trimmed empty line; here it carries no tokens at all)."""
+    from pyspark.sql import Window, functions as F
+
+    raw = spark.read.text(path).select(
+        F.regexp_replace(F.input_file_name(), r"^[a-z0-9+.-]+:(//)?", "").alias("_file"),
+        F.col("value").alias("line"),
+    )
+    w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
+    return (
+        raw.withColumn("_line_no", F.row_number().over(w))
+        .filter(F.length(F.trim("line")) > 0)
+        .select(
+            F.concat(F.col("_file"), F.lit("#"), F.col("_line_no").cast("string"))
+            .alias("doc_id"),
+            F.regexp_extract("_file", r"([^/]+)$", 1).alias("source"),
+            "line",
+        )
+    )
+
+
 def read_text_lines(spark, path: str) -> DataFrame:
     """Raw log files -> the pipeline's tokenized input shape — the
     direct analog of the reference's stdin mode (redeye.rs:82 reads
     plain text lines), for users whose corpus is .log files rather than
-    a pre-tokenized table.
-
-    doc_id is `<file>#<line_no>`: reproducible across runs for a fixed
-    file set (unlike bare monotonically_increasing_id, whose values
-    shift with partitioning), unique, and it preserves provenance.
-    source is the file name. The per-file line numbering is a window
-    per file — each file's lines sit in one split for typical log-file
-    sizes; multi-GB single files should be split upstream (text is not
-    splittable-with-line-numbers without an ordering column anyway).
-    Blank lines are dropped (the reference skips them: a trimmed empty
-    line parses to ParseError and is warned away; here they carry no
-    tokens at all).
-    """
-    from pyspark.sql import Window, functions as F
-
-    raw = (
-        spark.read.text(path)
-        .select(
-            F.input_file_name().alias("_file"),
-            F.col("value").alias("line"),
-        )
-        .filter(F.length(F.trim("line")) > 0)
-    )
-    w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
-    lines = raw.select(
-        F.concat(
-            F.regexp_extract("_file", r"([^/]+)$", 1),
-            F.lit("#"),
-            F.row_number().over(w).cast("string"),
-        ).alias("doc_id"),
-        F.regexp_extract("_file", r"([^/]+)$", 1).alias("source"),
-        "line",
-    )
-    return tokenize_lines(lines)
+    a pre-tokenized table. See text_lines_df for the id/provenance
+    contract."""
+    return tokenize_lines(text_lines_df(spark, path))
 
 
 def detokenize_lines(df: DataFrame, keep: tuple[str, ...] = ("doc_id", "source")) -> DataFrame:

@@ -115,7 +115,8 @@ class TestTextInput:
                  '5.6.7.8 - u2 [10/Oct/2000:13:55:37 -0700] "GET /b HTTP/1.0" 404 20']
         p.write_text("\n".join(lines) + "\n")
         got = read_text_lines(spark, str(tmp_path)).orderBy("doc_id").collect()
-        assert [r["doc_id"] for r in got] == ["app.log#1", "app.log#2"]
+        # physical line numbers (blank line 2 is numbered, then dropped)
+        assert [r["doc_id"] for r in got] == [f"{p}#1", f"{p}#3"]
         assert all(r["source"] == "app.log" for r in got)
         assert bytes(got[0]["tokens"]).decode() == lines[0]
         assert got[1]["n_tok"] == len(lines[2])
@@ -135,6 +136,17 @@ class TestTextInput:
         assert rc == 0
         events = spark.read.parquet(str(out / "events"))
         rows = {r["doc_id"]: r for r in events.collect()}
-        ok = rows["web.log#1"]
+        ok = rows[f"{logs}/web.log#1"]
         assert ok["remote_host"] == "9.9.9.9" and ok["status_code"] == 200
-        assert rows["web.log#2"]["sink"] == "dead_letter"
+        assert rows[f"{logs}/web.log#2"]["sink"] == "dead_letter"
+
+    def test_same_basename_in_two_dirs_does_not_collide(self, spark, tmp_path):
+        from redeye_spark.operators.tokenize_op import read_text_lines
+
+        for host in ("hostA", "hostB"):
+            d = tmp_path / host; d.mkdir()
+            (d / "access.log").write_text(f"line from {host}\n")
+        got = read_text_lines(spark, str(tmp_path) + "/*/").collect()
+        ids = [r["doc_id"] for r in got]
+        assert len(ids) == 2 and len(set(ids)) == 2, ids
+        assert all(r["source"] == "access.log" for r in got)
