@@ -2602,3 +2602,58 @@ FROM owned GROUP BY source, anchor_id
 
 QUERIES.update({"multiline_assemble": q_multiline_assemble})
 ORACLES.update({"multiline_assemble": SQL_MULTILINE_ASSEMBLE})
+
+
+def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks up the EARLIEST order of
+    the same user placed at-or-after the event time ("next purchase
+    after the session") — the time-reversed twin of asof_last_order,
+    same single-exchange union+window plan with the sort flipped.
+    Ties (same user, same order date) break to the highest orderkey,
+    matching the backward query's convention."""
+    from .operators.asof import asof_join
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )
+    out = asof_join(
+        ev, od,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["next_orderkey", "next_totalprice"],
+        tie_col="next_orderkey",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "next_orderkey",
+        "next_totalprice",
+    )
+
+
+SQL_ASOF_NEXT_ORDER = """
+WITH m AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       m.o_orderkey AS next_orderkey, m.o_totalprice AS next_totalprice
+FROM events e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+"""
+
+
+QUERIES.update({"asof_next_order": q_asof_next_order})
+ORACLES.update({"asof_next_order": SQL_ASOF_NEXT_ORDER})
