@@ -75,6 +75,7 @@ def start_windowed_counts(
     checkpoint_dir: str,
     cfg: PipelineConfig | None = None,
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = 4,
@@ -83,7 +84,12 @@ def start_windowed_counts(
     source), the streaming version of operators/aggregate.sink_counts.
     The watermark bounds state: events later than `watermark` behind the
     max seen timestamp are dropped from the aggregation, so state size is
-    O(active windows), not O(stream length)."""
+    O(active windows), not O(stream length). `slide` < `window` turns
+    the tumbling windows into hopping ones (each event counted in
+    window/slide overlapping windows — the streaming twin of
+    aggregate.hopping_counts; the replication still happens inside the
+    partial aggregate, and state grows by the same window/slide
+    factor)."""
     cfg = cfg or PipelineConfig()
     if max_files_per_trigger is None:
         # single-batch mode: deterministic regardless of file order (no
@@ -97,7 +103,7 @@ def start_windowed_counts(
         tagged.filter(F.col("timestamp").isNotNull())
         .withWatermark("timestamp", watermark)
         .groupBy(
-            F.window("timestamp", window).alias("w"),
+            F.window("timestamp", window, slide or window).alias("w"),
             F.col("sink"), F.col("status_class"), F.col("method"), F.col("source"),
         )
         .agg(F.count(F.lit(1)).alias("n"))

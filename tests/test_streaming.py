@@ -132,3 +132,41 @@ def test_stream_stream_interval_join_matches_batch(spark, source_dir, tmp_path_f
     e = exp.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(g[sorted(got.columns)], e[sorted(exp.columns)],
                                   check_dtype=False)
+
+
+def test_hopping_windowed_counts_stream_matches_batch(spark, source_dir, tmp_path_factory):
+    """slide < window turns the streaming count into hopping windows;
+    with a single-batch trigger the emitted (terminal-watermark-closed)
+    windows must equal the batch hopping aggregate under the same
+    eviction rule."""
+    base, pdf = source_dir
+    out = str(tmp_path_factory.mktemp("hop_out"))
+    q = stream_mod.start_windowed_counts(
+        spark, base, os.path.join(out, "counts"), os.path.join(out, "_ckpt"),
+        PipelineConfig(fmt=FORMAT_COMBINED),
+        window="1 hour", slide="30 minutes", watermark="2 hours",
+        trigger_available_now=True, max_files_per_trigger=None,
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(os.path.join(out, "counts"))
+
+    from redeye_spark.operators.aggregate import hopping_counts
+    from redeye_spark.plans.pipeline import build_tagged
+
+    tagged = build_tagged(
+        spark, spark.read.parquet(base), PipelineConfig(fmt=FORMAT_COMBINED)
+    ).filter(F.col("timestamp").isNotNull())
+    max_ts = tagged.agg(F.max("timestamp")).collect()[0][0]
+    exp = (
+        hopping_counts(tagged, "timestamp",
+                       ["sink", "status_class", "method", "source"])
+        .filter(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .select(F.col("window_start").alias("bucket"),
+                "sink", "status_class", "method", "source", "n")
+    )
+    key = ["bucket", "sink", "status_class", "method", "source"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    e = exp.toPandas().sort_values(key).reset_index(drop=True)
+    assert len(g) > 0
+    pd.testing.assert_frame_equal(g[sorted(g.columns)], e[sorted(e.columns)],
+                                  check_dtype=False)
