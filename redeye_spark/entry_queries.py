@@ -2657,3 +2657,69 @@ FROM events e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
 
 QUERIES.update({"asof_next_order": q_asof_next_order})
 ORACLES.update({"asof_next_order": SQL_ASOF_NEXT_ORDER})
+
+
+def q_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: each document's ASCII text becomes the PCM
+    data of a valid 8-bit mono RIFF/WAVE payload (all header bytes are
+    <128, so the chr()-built header survives UTF-8 encode byte-exact)
+    and is chunk-walked by the pure-numpy WAV parser
+    (operators/multimodal._decode_wav). The oracle re-derives sample
+    counts and all 8 PCM-byte histogram features from the same rpad
+    arithmetic in SQL — it never needs to build the binary, only to
+    predict the decoder's output."""
+    from .operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    L = "CAST(doc_id % 50 + 20 AS INT)"
+    nul = "chr(0)"
+    header = (
+        f"'RIFF' || chr(36 + {L}) || {nul} || {nul} || {nul} || 'WAVEfmt ' || "
+        f"chr(16) || {nul} || {nul} || {nul} || "          # fmt size 16
+        f"chr(1) || {nul} || chr(1) || {nul} || "          # PCM, mono
+        f"chr(64) || chr(31) || {nul} || {nul} || "        # rate 8000
+        f"chr(64) || chr(31) || {nul} || {nul} || "        # byte rate 8000
+        f"chr(1) || {nul} || chr(8) || {nul} || "          # align 1, 8-bit
+        f"'data' || chr({L}) || {nul} || {nul} || {nul}"
+    )
+    media = docs.selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id",
+        f"encode({header} || rpad(text, {L}, text), 'utf-8') AS payload",
+    )
+    feats = multimodal.decode_audio(media)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        *[
+            F.round(F.col("features")[k].cast("double"), 6).alias(f"f{k}")
+            for k in range(8)
+        ],
+    )
+
+
+SQL_DECODE_AUDIO = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 50 + 20 AS INT) AS L,
+         rpad(text, CAST(doc_id % 50 + 20 AS INT), text) AS pcm
+  FROM documents
+),
+u AS (
+  SELECT doc_id, L, (ascii(substr(pcm, CAST(i AS INT), 1)) // 32) AS b
+  FROM px, unnest(generate_series(1, length(pcm))) AS t(i)
+),
+c AS (
+  SELECT doc_id, L, count(*) AS n,
+         {_DECODE_BUCKETS}
+  FROM u GROUP BY doc_id, L
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       8000 AS sample_rate, 1 AS n_channels, CAST(L AS BIGINT) AS n_samples,
+       {_DECODE_FEATS}
+FROM c
+"""
+
+QUERIES.update({"decode_audio": q_decode_audio})
+ORACLES.update({"decode_audio": SQL_DECODE_AUDIO})

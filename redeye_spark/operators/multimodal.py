@@ -149,6 +149,87 @@ def decode_image(df: DataFrame, payload_col: str = "payload", fake: bool = False
     return df.select("doc_id", payload_col).mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real decode of one RIFF/WAVE PCM payload, pure numpy: chunk-walk
+    the container, parse the fmt subchunk, locate the data subchunk,
+    return (sample_rate, n_channels, n_samples, 8-bucket L1-normalized
+    byte histogram of the PCM data). PCM WAV is the audio analog of
+    binary PPM — decodable without librosa/soundfile, which makes the
+    audio path REAL in this container for 8/16-bit PCM."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"unknown audio codec (magic {payload[:4]!r}); only RIFF/WAVE "
+            "PCM decodes without audio libraries in this environment"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or n_channels not in (1, 2):
+        raise NotImplementedError(
+            f"unsupported WAV variant (format={audio_format}, bits={bits}, "
+            f"channels={n_channels}); only 8/16-bit mono/stereo PCM"
+        )
+    bytes_per_frame = (bits // 8) * n_channels
+    n_samples = len(data) // bytes_per_frame
+    b = np.frombuffer(data, dtype=np.uint8)
+    hist = np.bincount(b >> 5, minlength=8).astype(np.float64)
+    feats = (hist / (hist.sum() or 1.0)).astype(np.float32).tolist()
+    return sample_rate, n_channels, n_samples, feats
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio decode + feature extraction over mapInPandas — the audio
+    twin of decode_image's real path: RIFF/WAVE PCM parses with the
+    pure-numpy decoder above; any other codec raises
+    NotImplementedError inside the executor, exactly as a missing
+    system codec would."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            rates, chans, counts, feats = [], [], [], []
+            for p in b[payload_col]:
+                if p is None:
+                    rates.append(None); chans.append(None)
+                    counts.append(None); feats.append(None)
+                    continue
+                sr, nc, ns, f = _decode_wav(bytes(p))
+                rates.append(sr); chans.append(nc); counts.append(ns); feats.append(f)
+            out = pd.DataFrame({
+                "sample_rate": rates, "n_channels": chans,
+                "n_samples": counts, "features": feats,
+            })
+            out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))
+            yield out
+
+    return df.select("doc_id", payload_col).mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, payload_col: str = "payload"
 ) -> DataFrame:

@@ -587,3 +587,77 @@ class TestApproxDistinct:
                                    "doc_id long, tokens array<int>, chunk_idx int")
         with pytest.raises(ValueError, match="already exist"):
             chunk_tokens(df, "tokens", block=2)
+
+
+class TestWavDecode:
+    def _wav(self, data: bytes, rate=8000, channels=1, bits=8, extra_chunk=False) -> bytes:
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8, channels * bits // 8, bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:
+            chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size: pad
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_8bit_mono(self):
+        from redeye_spark.operators.multimodal import _decode_wav
+
+        sr, nc, ns, f = _decode_wav(self._wav(bytes(range(100))))
+        assert (sr, nc, ns) == (8000, 1, 100)
+        assert abs(sum(f) - 1.0) < 1e-6
+        # bytes 0..99 span buckets 0..3 (values < 128)
+        assert f[0] > 0 and f[4] == 0.0
+
+    def test_16bit_stereo_sample_count(self):
+        from redeye_spark.operators.multimodal import _decode_wav
+
+        data = bytes(400)  # 400 bytes / (2 bytes * 2 ch) = 100 frames
+        sr, nc, ns, _ = _decode_wav(self._wav(data, rate=44100, channels=2, bits=16))
+        assert (sr, nc, ns) == (44100, 2, 100)
+
+    def test_chunk_walk_skips_extra_chunks(self):
+        from redeye_spark.operators.multimodal import _decode_wav
+
+        sr, nc, ns, _ = _decode_wav(self._wav(bytes(64), extra_chunk=True))
+        assert ns == 64
+
+    def test_unknown_magic_raises_not_implemented(self):
+        from redeye_spark.operators.multimodal import _decode_wav
+
+        with pytest.raises(NotImplementedError, match="RIFF/WAVE"):
+            _decode_wav(b"OggS" + bytes(60))
+
+    def test_unsupported_variant_raises(self):
+        from redeye_spark.operators.multimodal import _decode_wav
+
+        import struct
+        bad = self._wav(bytes(8), bits=8)
+        # flip audio_format to 3 (IEEE float)
+        i = bad.index(b"fmt ") + 8
+        bad = bad[:i] + struct.pack("<H", 3) + bad[i + 2:]
+        with pytest.raises(NotImplementedError, match="unsupported WAV"):
+            _decode_wav(bad)
+
+    def test_missing_data_chunk_raises(self):
+        from redeye_spark.operators.multimodal import _decode_wav
+
+        import struct
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        with pytest.raises(ValueError, match="missing fmt/data"):
+            _decode_wav(payload)
+
+    def test_decode_audio_operator_end_to_end(self, spark):
+        from redeye_spark.operators.multimodal import decode_audio
+
+        df = spark.createDataFrame(
+            [("a", self._wav(bytes([65] * 50))), ("b", None)],
+            "doc_id string, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_audio(df).collect()}
+        assert rows["a"]["n_samples"] == 50 and rows["a"]["sample_rate"] == 8000
+        assert rows["a"]["features"][2] == 1.0  # byte 65 -> bucket 2
+        assert rows["b"]["n_samples"] is None
