@@ -62,6 +62,27 @@ class ParquetIO(TableIO):
         shutil.rmtree(self.location(table), ignore_errors=True)
 
 
+class OrcIO(ParquetIO):
+    """ORC-directory tables — same layout contract as ParquetIO with the
+    other columnar format Spark ships built-in (no extra jars). Useful
+    when the surrounding lake is Hive/ORC; Parquet remains the default
+    (the testdata, bench corpus, and checkpoint paths all assume it)."""
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.orc(self.location(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        if mode == "overwrite_partitions":
+            w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        elif mode == "overwrite":
+            w = df.write.mode("overwrite").option("partitionOverwriteMode", "static")
+        else:
+            w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(self.location(table))
+
+
 class IcebergIO(TableIO):
     """Iceberg catalog tables (requires the iceberg-spark-runtime jar)."""
 

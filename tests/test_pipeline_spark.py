@@ -424,3 +424,29 @@ class TestCheckpointScale:
         changed = raw.filter(chunk_column(4) != 0)  # mutates chunk 0's input
         with pytest.raises(ValueError, match="input changed under completed chunk"):
             run_checkpointed(spark, changed, io, base + "/ck", cfg, n_chunks=4)
+
+
+class TestOrcIO:
+    def test_orc_roundtrip_and_partitioned_fanout(self, spark, tmp_path):
+        """The ORC flavor honors the same TableIO contract: partitioned
+        fan-out write, dynamic-partition overwrite, identical rows."""
+        from pyspark.sql import functions as F
+
+        from redeye_spark.sources.io import OrcIO
+
+        io = OrcIO(str(tmp_path))
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("sink")
+        )
+        io.write(df, "events", partition_by=["sink"])
+        back = io.read(spark, "events")
+        assert back.count() == 100
+        assert back.filter(F.col("sink") == "1").count() == 33
+        # dynamic partition overwrite replaces only the written partition
+        patch = spark.range(5).select(F.col("id") + 1000, F.lit("1").alias("sink")) \
+            .toDF("id", "sink")
+        io.write(patch, "events", mode="overwrite_partitions", partition_by=["sink"])
+        back2 = io.read(spark, "events")
+        assert back2.filter(F.col("sink") == "1").count() == 5
+        assert back2.filter(F.col("sink") == "0").count() == \
+            df.filter(F.col("sink") == "0").count()
