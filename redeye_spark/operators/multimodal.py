@@ -2,12 +2,15 @@
 with typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shape,
-partition-friendly operators — while the actual media decode is stubbed:
-this container ships no image/audio libraries, so `decode_image` raises
-NotImplementedError unless `fake=True`, which substitutes a deterministic
-byte-level feature extractor (documented, reproducible) with the exact
-same schema the real decoder would emit. Swapping in PIL/librosa later
-changes only the inner numpy function, not the pipeline.
+partition-friendly operators — and two codecs decode for REAL with pure
+numpy: binary PPM (P6) images via `decode_image(fake=False)` and
+RIFF/WAVE PCM audio via `decode_audio`. Formats that genuinely need
+PIL/opencv/librosa (absent in this container) raise NotImplementedError
+inside the executor, exactly as a missing system codec would; the
+`fake=True` image path substitutes a deterministic byte-level feature
+extractor with the same schema for pipelines on those formats. Swapping
+in a library later changes only the inner numpy function, not the
+pipeline.
 
 Design for 100 TB of media:
   * binary payloads stay in their own column; metadata extraction is a
@@ -180,6 +183,15 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
+            if len(body) < size:
+                # the chunk header promised more PCM than the payload
+                # holds — fail like _decode_ppm does, instead of letting
+                # a cut-off transfer flow downstream with a wrong
+                # n_samples and a partial-data histogram
+                raise ValueError(
+                    f"truncated WAV: data chunk declares {size} bytes, "
+                    f"only {len(body)} present"
+                )
             data = body
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data is None:

@@ -42,12 +42,16 @@ def _count_partition_dirs(root: str, first_partition_col: str) -> int:
 
 
 def table_file_stats(io: ParquetIO, table: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) from the on-disk listing."""
+    """(n_data_files, total_bytes) from the on-disk listing, counting
+    the io flavor's own data extension (an OrcIO table holds .orc files
+    — counting .parquet there would report 0 and turn compaction into
+    a silent permanent no-op)."""
     root = io.location(table)
+    ext = getattr(io, "data_ext", ".parquet")
     n, total = 0, 0
     for dirpath, _dirnames, filenames in os.walk(root):
         for f in filenames:
-            if f.endswith(".parquet"):
+            if f.endswith(ext):
                 n += 1
                 total += os.path.getsize(os.path.join(dirpath, f))
     return n, total

@@ -30,7 +30,14 @@ class TableIO:
 
 
 class ParquetIO(TableIO):
-    """Parquet-directory tables under a base dir (sandbox default)."""
+    """Columnar-directory tables under a base dir (sandbox default:
+    Parquet). The format is a class attribute so variants (OrcIO) share
+    the mode-dispatch policy instead of copying it — and so consumers
+    that inspect on-disk files (plans/maintenance.py compaction) can ask
+    for the right data-file extension."""
+
+    _fmt = "parquet"
+    data_ext = ".parquet"
 
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
@@ -39,7 +46,7 @@ class ParquetIO(TableIO):
         return os.path.join(self.base_dir, table)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self.location(table))
+        return spark.read.format(self._fmt).load(self.location(table))
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
         # 'overwrite_partitions' = replace only the partitions present in
@@ -54,7 +61,7 @@ class ParquetIO(TableIO):
             w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.location(table))
+        w.format(self._fmt).save(self.location(table))
 
     def delete(self, spark: SparkSession, table: str) -> None:
         import shutil
@@ -63,24 +70,13 @@ class ParquetIO(TableIO):
 
 
 class OrcIO(ParquetIO):
-    """ORC-directory tables — same layout contract as ParquetIO with the
-    other columnar format Spark ships built-in (no extra jars). Useful
-    when the surrounding lake is Hive/ORC; Parquet remains the default
-    (the testdata, bench corpus, and checkpoint paths all assume it)."""
+    """ORC-directory tables — the other columnar format Spark ships
+    built-in (no extra jars), same TableIO contract. Useful when the
+    surrounding lake is Hive/ORC; Parquet remains the default (the
+    testdata, bench corpus, and checkpoint paths all assume it)."""
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.orc(self.location(table))
-
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
-        if mode == "overwrite_partitions":
-            w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        elif mode == "overwrite":
-            w = df.write.mode("overwrite").option("partitionOverwriteMode", "static")
-        else:
-            w = df.write.mode(mode)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.orc(self.location(table))
+    _fmt = "orc"
+    data_ext = ".orc"
 
 
 class IcebergIO(TableIO):

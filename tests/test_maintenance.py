@@ -111,3 +111,18 @@ class TestCompactionReviewRegressions:
 
         with pytest.raises(TypeError, match="rewrite_data_files"):
             maintenance.compact_table(spark, IcebergIO("cat"), "t")
+
+    def test_orc_tables_compact_too(self, spark, tmp_path):
+        """table_file_stats must count the io flavor's own extension —
+        .parquet-only counting made ORC compaction a silent no-op."""
+        from redeye_spark.sources.io import OrcIO
+
+        io = OrcIO(str(tmp_path))
+        df = spark.range(2000).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("payload"))
+        io.write(df.repartition(12), "t")
+        before, total = maintenance.table_file_stats(io, "t")
+        assert before >= 12 and total > 0
+        stats = maintenance.compact_table(spark, io, "t", target_file_bytes=1 << 30)
+        assert stats["rewritten"] and stats["files_after"] == 1
+        assert io.read(spark, "t").count() == 2000

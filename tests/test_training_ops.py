@@ -661,3 +661,11 @@ class TestWavDecode:
         assert rows["a"]["n_samples"] == 50 and rows["a"]["sample_rate"] == 8000
         assert rows["a"]["features"][2] == 1.0  # byte 65 -> bucket 2
         assert rows["b"]["n_samples"] is None
+
+    def test_truncated_data_chunk_raises(self):
+        import struct
+        from redeye_spark.operators.multimodal import _decode_wav
+
+        full = self._wav(bytes(100))
+        with pytest.raises(ValueError, match="truncated WAV"):
+            _decode_wav(full[:-40])  # cut 40 PCM bytes off the end
