@@ -87,7 +87,9 @@ def ensure_corpus(path: str, n: int) -> None:
         # REDEYE_EXEC_HI) can have fewer files than executors — the
         # round-robin shard loop would then hand empty dirs out
         n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
-        if n_files < N_EXECUTORS_HI:
+        # a corpus of n rows can never yield more than n files, so clamp
+        # the requirement or a tiny corpus would be regenerated forever
+        if n_files < min(n, N_EXECUTORS_HI):
             shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(marker):
         from redeye_spark.sources.datagen import write_input_table
@@ -262,6 +264,10 @@ def main() -> None:
     from redeye_spark.session import get_spark
     from redeye_spark import entry_queries as EQ
 
+    # per-query numbers must charge each query its real parse cost —
+    # the registry's shared-parse persist cache would let query #2 ride
+    # query #1's warm cache and misreport the suite as faster than it is
+    os.environ["REDEYE_NO_PARSE_CACHE"] = "1"
     spark = get_spark("bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     # Warm the session once (python worker spawn + codegen are
     # per-session constants; the exec-scaling legs exclude them via

@@ -71,12 +71,25 @@ def _has_capturing_group(body: str) -> bool:
     "(" not followed by "?". A lookbehind on a single backslash is not
     enough: in r"x\\(\d+)" the first backslash escapes the SECOND, so
     the "(" is live; only a character-walk that consumes escape pairs
-    classifies it correctly."""
+    classifies it correctly. "(" inside a character class ("[()]+") is
+    a literal, so the walk tracks class state, including the literal-]
+    quirk ("[]]" / "[^]]" keep their first "]")."""
     i, n = 0, len(body)
+    in_class, class_start = False, -1
     while i < n:
         c = body[i]
         if c == "\\":
             i += 2  # escape consumes the next char, whatever it is
+            continue
+        if in_class:
+            lit = class_start + (2 if body.startswith("^", class_start + 1) else 1)
+            if c == "]" and i > lit:
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class, class_start = True, i
+            i += 1
             continue
         if c == "(" and (i + 1 >= n or body[i + 1] != "?"):
             return True

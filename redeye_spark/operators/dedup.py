@@ -570,7 +570,10 @@ def connected_components(
     tree per round (at cluster scale, swap for a reliable checkpoint
     dir). Convergence is detected by the monotone label-sum invariant:
     labels only ever decrease, so an unchanged sum(comp) means a fixed
-    point — one cheap aggregate per round, no old-vs-new join."""
+    point — one cheap aggregate per round, no old-vs-new join. The sum
+    runs in decimal(38,0): Spark's non-ANSI long sum wraps silently, and
+    on a huge id space an overflow collision could in principle fake an
+    unchanged sum before the true fixed point."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -581,7 +584,8 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    prev = labels.agg(F.sum("comp")).collect()[0][0]
+    _label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev = labels.agg(_label_sum).collect()[0][0]
     for _ in range(max_iters):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("comp")
@@ -592,7 +596,7 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        cur = new.agg(F.sum("comp")).collect()[0][0]
+        cur = new.agg(_label_sum).collect()[0][0]
         labels = new
         if cur == prev:
             break

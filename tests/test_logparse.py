@@ -467,6 +467,20 @@ class TestGrokEscapeGuard:
         rx, _ = grok_to_regex(r"%{OK:x}", extra_patterns={"OK": r"a\(b\)"})
         assert rx
 
+    def test_paren_inside_character_class_allowed(self):
+        """'(' inside [...] is a literal — it opens no group and shifts
+        no field indexes, so the guard must accept it (including the
+        literal-] quirks '[]]' and '[^]]')."""
+        from redeye_spark.functions.grok import grok_to_regex
+
+        for ok in (r"[()]+", r"[^()]*", r"[]forbidden(]", r"[^](]x"):
+            rx, _ = grok_to_regex(r"%{OK:x}", extra_patterns={"OK": ok})
+            assert rx
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="capturing group"):
+            grok_to_regex(r"%{B:x}", extra_patterns={"B": r"[a-z](\d)"})
+
 
 class TestGrokComposites:
     def test_combinedapachelog_parses_real_combined_line(self):
