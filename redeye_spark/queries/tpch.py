@@ -314,6 +314,43 @@ def q_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join as asof_last_order but through the
+    time-bucketed hot-key plan (bucket="30 days"): the fill window
+    partitions by (user, 30-day bucket) and bucket-closing orders are
+    carried forward by a per-(user, bucket) window, so one user with a
+    pathological event count would spread across tasks instead of
+    serializing one reducer. Sharing asof_last_order's oracle pins the
+    bucketed path to the exact naive-range-join ground truth."""
+    from ..operators.asof import asof_join
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+    out = asof_join(
+        ev, od,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["last_orderkey", "last_totalprice"],
+        tie_col="last_orderkey",
+        bucket="30 days",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "last_orderkey",
+        "last_totalprice",
+    )
+
+
 SQL_ASOF_LAST_ORDER = """
 WITH m AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,
@@ -731,6 +768,7 @@ QUERIES = {
     "customer_retained": q_customer_retained,
     "shipping_revenue": q_shipping_revenue,
     "asof_last_order": q_asof_last_order,
+    "asof_bucketed": q_asof_bucketed,
     "value_band_counts": q_value_band_counts,
     "regional_revenue": q_regional_revenue,
     "hopping_counts": q_hopping_counts,
@@ -754,6 +792,7 @@ ORACLES = {
     "customer_retained": SQL_CUSTOMER_RETAINED,
     "shipping_revenue": SQL_SHIPPING_REVENUE,
     "asof_last_order": SQL_ASOF_LAST_ORDER,
+    "asof_bucketed": SQL_ASOF_LAST_ORDER,
     "value_band_counts": SQL_VALUE_BAND_COUNTS,
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "hopping_counts": SQL_HOPPING_COUNTS,

@@ -281,3 +281,96 @@ class TestAsofProperty:
             for r in got_rows:
                 ev, er = exp[(r["k"], r["ts"])]
                 assert (r["v"], r["rid"]) == (ev, er), (trial, r)
+
+
+class TestAsofBucketed:
+    """bucket= must be a pure plan change: identical results to the
+    plain path for any bucket size, while the fill window partitions by
+    (key, bucket) so one hot key spreads across its time buckets."""
+
+    def _both(self, spark, left, right, bucket, **kw):
+        plain = _join(spark, left, right, **kw)
+        buck = _join(spark, left, right, bucket=bucket, **kw)
+        assert buck == plain, (bucket, kw)
+
+    def test_equivalence_matrix(self, spark):
+        rng = np.random.default_rng(11)
+        left = [(int(k), int(t), "x")
+                for k, t in zip(rng.integers(0, 4, 120), rng.integers(0, 500, 120))]
+        right = [(int(k), int(t), float(v), int(i))
+                 for i, (k, t, v) in enumerate(
+                     zip(rng.integers(0, 4, 80), rng.integers(0, 500, 80),
+                         rng.normal(size=80).round(3)))]
+        for bucket in (7, 50, "100 seconds", 10_000):  # incl. one-bucket case
+            for direction in ("backward", "forward"):
+                for strict in (False, True):
+                    self._both(spark, left, right, bucket,
+                               direction=direction, strict=strict)
+
+    def test_cross_bucket_carry(self, spark):
+        # right row in bucket 0 must serve a left row in bucket 3 with
+        # empty buckets 1-2 in between (carry over bucket gaps)
+        got = _join(spark, [(1, 35, "a")], [(1, 2, 9.0, 1)], bucket=10)
+        assert got[(1, 35)] == (9.0, 1)
+
+    def test_same_ts_strictness_across_boundary(self, spark):
+        # equal timestamps always share a bucket, so strict semantics
+        # survive bucketing even AT a bucket boundary ts
+        left = [(1, 10, "a")]
+        right = [(1, 10, 5.0, 1), (1, 3, 4.0, 2)]
+        assert _join(spark, left, right, bucket=10)[(1, 10)] == (5.0, 1)
+        assert _join(spark, left, right, bucket=10, strict=True)[(1, 10)] == (4.0, 2)
+
+    def test_nulls_and_ties_match_plain(self, spark):
+        left = spark.createDataFrame(
+            [(None, 10, "nullkey"), (1, None, "nullts"), (1, 10, "ok")],
+            "k long, ts long, lbl string")
+        right = spark.createDataFrame(
+            [(1, 7, 1.0, 11), (1, 7, 2.0, 99), (1, 4, 9.0, 3)],
+            "k long, ts long, v double, rid long")
+        for bucket in (5, 1000):
+            out = {r["lbl"]: (r["v"], r["rid"]) for r in asof_join(
+                left, right, "k", "k", "ts", "ts", ["v", "rid"],
+                tie_col="rid", bucket=bucket).collect()}
+            assert out == {"nullkey": (None, None), "nullts": (None, None),
+                           "ok": (2.0, 99)}
+
+    def test_timestamp_type_buckets(self, spark):
+        left = spark.createDataFrame(
+            [(1, "2024-01-03 00:00:05", "a")],
+            "k long, ts string, lbl string").withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", 7.0, 1)],
+            "k long, ts string, v double, rid long").withColumn("ts", F.col("ts").cast("timestamp"))
+        row = asof_join(left, right, "k", "k", "ts", "ts", ["v"],
+                        tie_col="rid", bucket="1 day").collect()[0]
+        assert row["v"] == 7.0
+
+    def test_hot_key_parallelizes(self, spark):
+        """ONE key, many buckets: the fill window's partition spec must
+        include the bucket column (that is what lets >1 task touch the
+        hot key), and the carry window must stay tiny (per-bucket)."""
+        import re
+        from tests.test_plans import plan_of
+
+        left = spark.range(2000).select(
+            F.lit(7).alias("k"), F.col("id").alias("ts"), F.lit("x").alias("lbl"))
+        right = spark.range(500).select(
+            F.lit(7).alias("k"), (F.col("id") * 4).alias("ts"),
+            F.col("id").cast("double").alias("v"))
+        out = asof_join(left, right, "k", "k", "ts", "ts", ["v"], bucket=100)
+        plan = plan_of(out)
+        assert re.search(r"windowspecdefinition\(_asof_key\S*, _asof_bkt", plan), plan
+        # and the data actually spans many buckets for this hot key
+        n_parts = out.selectExpr("count(distinct floor(ts / 100)) AS c").collect()[0][0]
+        assert n_parts == 20
+        # correctness spot: last left row sees right ts<=1999 -> 499*4=1996
+        last = {r["ts"]: r["v"] for r in out.collect()}
+        assert last[1999] == 499.0 and last[3] == 0.0
+
+    def test_bad_bucket_rejected(self, spark):
+        df = spark.createDataFrame([(1, 2, "x")], "k long, ts long, lbl string")
+        r = spark.createDataFrame([(1, 2, 3.0)], "k long, ts long, v double")
+        for bad in (0, -5, "soon", "1 fortnight"):
+            with pytest.raises(ValueError):
+                asof_join(df, r, "k", "k", "ts", "ts", ["v"], bucket=bad)
