@@ -564,7 +564,9 @@ def connected_components(
     vertex takes the min of its own label and its neighbors' labels —
     one shuffle join + one aggregate per round, converging in
     O(diameter) rounds (dedup pair graphs are small-diameter clusters;
-    a 50-round cap guards degenerate path graphs). The label frontier is
+    a 50-round cap guards degenerate path graphs — for long-chain
+    graphs use connected_components_twophase below, whose round count
+    is O(log n), pytest-pinned on a 1000-link path). The label frontier is
     (id, long) rows only — never documents — and each round's result is
     localCheckpoint()ed: lineage stays O(1) instead of growing a plan
     tree per round (at cluster scale, swap for a reliable checkpoint
@@ -604,6 +606,89 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 
+def connected_components_twophase(
+    pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as connected_components but
+    converging in O(log n) rounds instead of O(diameter), which is the
+    variant to reach for when the pair graph can contain long chains
+    (plain min-label propagation needs ~1000 rounds on a 1000-link
+    path; this needs ~log of that, pytest-pinned).
+
+    Each round is two groupBy/join passes over the edge set only
+    (16-byte (a, b) rows, never documents):
+
+      large-star: group edges at BOTH endpoints; connect every strictly
+        larger neighbor to min(neighborhood ∪ self).
+      small-star: orient each edge to its larger endpoint; connect that
+        endpoint and all its smaller neighbors to their minimum.
+
+    The fixed point is the canonical star set {(node, component-min)}.
+    Convergence is an exact edge-set comparison (count + one
+    anti-join probe — no hashed-sum collision risk); exhausting
+    max_iters without a fixed point raises instead of returning a
+    silently-partial clustering."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    E = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = E.count()
+    converged = n_edges == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        sym = E.unionByName(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a").agg(F.min("b").alias("_mn"))
+            .select("a", F.least(F.col("_mn"), F.col("a")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        ori = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mins2 = ori.groupBy("u").agg(F.min("v").alias("m"))
+        new = (
+            ori.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = new.count()
+        converged = (
+            n_new == n_edges
+            and new.join(E, ["a", "b"], "left_anti").limit(1).count() == 0
+        )
+        E, n_edges = new, n_new
+    if not converged:
+        raise RuntimeError(
+            f"two-phase connected components did not converge in {max_iters} "
+            "rounds — raise max_iters"
+        )
+    labels = E.groupBy("a").agg(F.min("b").alias("component"))
+    return ids.join(labels, ids["id"] == labels["a"], "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", "id").alias("component"),
+    )
+
+
 def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, gram): distinct word-n-grams per doc over the canonical
     tokenizer (empty edge tokens dropped — an edge-whitespace doc must
@@ -634,19 +719,42 @@ def contaminated_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    max_broadcast_grams: int | None = 1_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: ids of TRAIN docs sharing any word-
     n-gram with any EVAL doc (the standard n-gram-overlap contamination
     test run before training on web corpora).
 
-    Scale shape: eval sets are small (10^3-10^5 docs) next to a 10^12-row
-    corpus, so the distinct EVAL gram set is explicitly broadcast and the
+    Scale shape: eval sets are usually small (10^3-10^5 docs) next to a
+    10^12-row corpus, so the distinct EVAL gram set is broadcast and the
     train side streams through a map-side hash semi-join — the corpus is
     scanned once, nothing about it shuffles, and the output is just the
     contaminated id set (drop with a second anti-join, same shape as
-    drop_near_duplicates)."""
+    drop_near_duplicates).
+
+    A HUGE eval suite would OOM that broadcast, so the plan degrades
+    instead: when the distinct exploded gram count exceeds
+    ``max_broadcast_grams`` (~60-100 MB of broadcast at 1M grams; pass
+    None to force broadcast), the semi-join falls back to a plain
+    shuffle sort-merge join — the train side then shuffles 16-byte
+    (gram-hash, id) pairs once, which is the correct trade when the
+    build side no longer fits an executor. Both paths are
+    equivalence-tested; the count probe is one cheap aggregate over the
+    (small) eval side only."""
     train_grams = _word_ngrams(train, id_col, text_col, n)
     eval_grams = _word_ngrams(eval_df, id_col, text_col, n).select("gram").distinct()
+    if max_broadcast_grams is not None:
+        # bounded probe: eval_grams is the small side by assumption; the
+        # limit caps the scan even when that assumption is wrong
+        over = (
+            eval_grams.limit(max_broadcast_grams + 1).count()
+            > max_broadcast_grams
+        )
+        if over:
+            joined = train_grams.join(
+                eval_grams.hint("merge"), on="gram", how="left_semi"
+            )
+            return joined.select(id_col).distinct()
     return (
         train_grams.join(F.broadcast(eval_grams), on="gram", how="left_semi")
         .select(id_col)

@@ -242,6 +242,175 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("fps_num", T.IntegerType(), True),
+        T.StructField("fps_den", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+_Y4M_HEADER = re.compile(rb"^YUV4MPEG2((?: [^ \n]+)*)\n")
+
+# plane-size multipliers: bytes per frame = w*h * num / den
+_Y4M_CHROMA = {"420": (3, 2), "422": (2, 1), "444": (3, 1), "mono": (1, 1)}
+
+
+def _decode_y4m(payload: bytes):
+    """Real decode of one YUV4MPEG2 (Y4M) stream, pure numpy: parse the
+    stream header (W/H/F/C params), then walk the FRAME markers,
+    validating each frame's fixed-size planar payload and accumulating
+    an 8-bucket byte histogram over the raw YUV data (markers and
+    headers excluded). Y4M is the video analog of binary PPM /
+    PCM WAV — a raw uncompressed container decodable without
+    ffmpeg/opencv, which makes the video path REAL here. Returns
+    (width, height, fps_num, fps_den, n_frames, features)."""
+    m = _Y4M_HEADER.match(payload)
+    if m is None:
+        raise NotImplementedError(
+            f"unknown video codec (magic {payload[:4]!r}); only YUV4MPEG2 "
+            "(Y4M) decodes without ffmpeg/opencv in this environment"
+        )
+    w = h = None
+    fps_num, fps_den, chroma = 25, 1, "420"
+    for tok in m.group(1).split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif t[0] == "C":
+            chroma = next(
+                (k for k in _Y4M_CHROMA if t[1:].startswith(k)), t[1:]
+            )
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if chroma not in _Y4M_CHROMA:
+        raise NotImplementedError(f"unsupported Y4M colorspace C{chroma}")
+    num, den = _Y4M_CHROMA[chroma]
+    if (w * h * num) % den:
+        raise ValueError(f"C{chroma} needs even dimensions, got {w}x{h}")
+    frame_bytes = w * h * num // den
+    pos, n_frames = m.end(), 0
+    hist = np.zeros(8, dtype=np.float64)
+    data = np.frombuffer(payload, dtype=np.uint8)
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        nl = payload.find(b"\n", pos + 5)
+        if nl < 0:
+            raise ValueError("unterminated FRAME header")
+        body_start = nl + 1
+        if body_start + frame_bytes > len(payload):
+            raise ValueError(
+                f"truncated Y4M: frame {n_frames} needs {frame_bytes} bytes, "
+                f"only {len(payload) - body_start} present"
+            )
+        hist += np.bincount(data[body_start : body_start + frame_bytes] >> 5,
+                            minlength=8)
+        n_frames += 1
+        pos = body_start + frame_bytes
+    feats = (hist / (hist.sum() or 1.0)).astype(np.float32).tolist()
+    return w, h, fps_num, fps_den, n_frames, feats
+
+
+def decode_video(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Video decode + feature extraction over mapInPandas — the video
+    member of the real-decoder family (PPM image, WAV audio): YUV4MPEG2
+    containers are frame-walked by the pure-numpy parser above; any
+    other codec raises NotImplementedError inside the executor, exactly
+    as a missing system codec would."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            cols = {k: [] for k in
+                    ("width", "height", "fps_num", "fps_den", "n_frames", "features")}
+            for p in b[payload_col]:
+                if p is None:
+                    for v in cols.values():
+                        v.append(None)
+                    continue
+                w, h, fn_, fd, nf, ft = _decode_y4m(bytes(p))
+                for v, x in zip(cols.values(), (w, h, fn_, fd, nf, ft)):
+                    v.append(x)
+            out = pd.DataFrame(cols)
+            out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))
+            yield out
+
+    return df.select("doc_id", payload_col).mapInPandas(fn, schema=VIDEO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame, stride: int = 1, max_frames: int = 8, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL frame sampling: walk each YUV4MPEG2 container and emit every
+    ``stride``-th frame's raw planar bytes as (doc_id, frame_idx,
+    frame_bytes) — the container-aware upgrade of the byte-slicing
+    sample_frames stand-in (same fan-out schema, so downstream plumbing
+    is unchanged). frame_idx is the frame's index IN THE CONTAINER, not
+    the sample number, so sampled output remains joinable to full
+    decode. NULL payloads emit no frames; non-Y4M payloads raise like
+    decode_video."""
+    s = int(stride)
+    if s < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(b["doc_id"], b[payload_col]):
+                if p is None:
+                    continue
+                payload = bytes(p)
+                m = _Y4M_HEADER.match(payload)
+                if m is None:
+                    raise NotImplementedError(
+                        f"unknown video codec (magic {payload[:4]!r}); only "
+                        "YUV4MPEG2 (Y4M) decodes in this environment"
+                    )
+                # reuse the full walk for validation + geometry, then
+                # re-walk emitting the sampled bodies
+                w, h, _, _, n_frames, _ = _decode_y4m(payload)
+                chroma = "420"
+                for tok in m.group(1).split():
+                    if tok[:1] == b"C":
+                        t = tok[1:].decode("ascii", "replace")
+                        chroma = next(
+                            (k for k in _Y4M_CHROMA if t.startswith(k)), chroma
+                        )
+                num, den = _Y4M_CHROMA[chroma]
+                frame_bytes = w * h * num // den
+                pos, fi, kept = m.end(), 0, 0
+                while pos < len(payload) and kept < max_frames:
+                    nl = payload.find(b"\n", pos + 5)
+                    body = nl + 1
+                    if fi % s == 0:
+                        ids.append(doc_id)
+                        idxs.append(fi)
+                        frames.append(payload[body : body + frame_bytes])
+                        kept += 1
+                    fi += 1
+                    pos = body + frame_bytes
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "frame_idx": pd.Series(idxs, dtype="int32"),
+                     "frame_bytes": frames}
+                )
+
+    return df.select("doc_id", payload_col).mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, payload_col: str = "payload"
 ) -> DataFrame:

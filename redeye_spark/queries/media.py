@@ -213,11 +213,70 @@ FROM c
 
 
 
+def q_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: each document's ASCII text becomes the planar
+    frame data of a valid YUV4MPEG2 (Y4M) container — stream header
+    with doc_id-derived geometry, doc_id%3+1 FRAME chunks whose bodies
+    are the text rpad-repeated to 3*w*h (C444) — and frame-walked by
+    the pure-numpy Y4M parser (operators/multimodal._decode_y4m). The
+    oracle predicts geometry and all 8 YUV-byte histogram features from
+    the same rpad arithmetic over ONE frame body: every frame repeats
+    the same bytes, and an n-fold repetition cancels exactly in the
+    L1 normalization ((n*c)/(n*s) and c/s round identically in IEEE
+    double), so the oracle never builds the container."""
+    from ..operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(_ASCII_ONLY)
+    w = "CAST(doc_id % 5 + 2 AS INT)"
+    h = "CAST(doc_id % 4 + 2 AS INT)"
+    nf = "CAST(doc_id % 3 + 1 AS INT)"
+    body = f"rpad(text, CAST(3 * (doc_id % 5 + 2) * (doc_id % 4 + 2) AS INT), text)"
+    media = docs.selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id",
+        f"encode('YUV4MPEG2 W' || {w} || ' H' || {h} || ' F30:1 C444' || chr(10)"
+        f" || repeat('FRAME' || chr(10) || {body}, {nf}), 'utf-8') AS payload",
+    )
+    feats = multimodal.decode_video(media)
+    return feats.select(
+        "doc_id", "width", "height", "fps_num", "fps_den", "n_frames",
+        *[
+            F.round(F.col("features")[k].cast("double"), 6).alias(f"f{k}")
+            for k in range(8)
+        ],
+    )
+
+
+SQL_DECODE_VIDEO = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 2 AS INT) AS w,
+         CAST(doc_id % 4 + 2 AS INT) AS h,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS nf,
+         rpad(text, CAST(3 * (doc_id % 5 + 2) * (doc_id % 4 + 2) AS INT), text) AS body
+  FROM documents WHERE {_SQL_ASCII_ONLY}
+),
+u AS (
+  SELECT doc_id, w, h, nf, (ascii(substr(body, CAST(i AS INT), 1)) // 32) AS b
+  FROM px, unnest(generate_series(1, length(body))) AS t(i)
+),
+c AS (
+  SELECT doc_id, w, h, nf, count(*) AS n,
+         {_DECODE_BUCKETS}
+  FROM u GROUP BY doc_id, w, h, nf
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, w AS width, h AS height,
+       30 AS fps_num, 1 AS fps_den, nf AS n_frames,
+       {_DECODE_FEATS}
+FROM c
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "decode_image": q_decode_image,
     "decode_audio": q_decode_audio,
+    "decode_video": q_decode_video,
 }
 
 ORACLES = {
@@ -225,4 +284,5 @@ ORACLES = {
     "frame_sample": SQL_FRAME_SAMPLE,
     "decode_image": SQL_DECODE_IMAGE,
     "decode_audio": SQL_DECODE_AUDIO,
+    "decode_video": SQL_DECODE_VIDEO,
 }

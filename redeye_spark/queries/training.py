@@ -601,6 +601,21 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 
 
 
+def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cc through the O(log n)-round large-star/small-star
+    variant (connected_components_twophase) instead of label
+    propagation — same recursive-CTE ground truth, so both CC
+    algorithms are pinned to identical clusterings."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    comps = dedup.connected_components_twophase(pairs)
+    return docs.select("doc_id").join(comps, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split: assignment is a pure
     function of (seed, doc_id) via shared-rule md5 buckets — stable
@@ -845,6 +860,7 @@ QUERIES = {
     "dedup_filter": q_dedup_filter,
     "quality_score": q_quality_score,
     "dedup_cc": q_dedup_cc,
+    "dedup_cc_star": q_dedup_cc_star,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
     "tfidf_terms": q_tfidf_terms,
@@ -873,6 +889,7 @@ ORACLES = {
     "dedup_filter": SQL_DEDUP_FILTER,
     "quality_score": SQL_QUALITY_SCORE,
     "dedup_cc": SQL_DEDUP_CC,
+    "dedup_cc_star": SQL_DEDUP_CC,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "tfidf_terms": SQL_TFIDF_TERMS,

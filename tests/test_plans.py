@@ -273,6 +273,26 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "Exchange hashpartitioning" not in p, p
 
 
+def test_decontaminate_falls_back_to_shuffle_join_when_eval_huge(spark):
+    """Past max_broadcast_grams the build side no longer fits an
+    executor, so the semi-join must degrade to a shuffle SMJ instead of
+    OOMing the broadcast — and both paths must agree row-for-row."""
+    from redeye_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    ev = docs.limit(40).select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+
+    small = dedup.contaminated_ids(docs, ev, n=5)  # default: broadcast
+    forced = dedup.contaminated_ids(docs, ev, n=5, max_broadcast_grams=10)
+    pf = plan_of(forced)
+    assert "SortMergeJoin" in pf and "LeftSemi" in pf, pf
+    assert "BroadcastHashJoin" not in pf, pf
+    a = sorted(r["doc_id"] for r in small.collect())
+    b = sorted(r["doc_id"] for r in forced.collect())
+    assert a == b and len(a) > 0
+
+
 def test_split_and_sample_are_shuffle_free_projections(spark):
     """Deterministic split/sample must stay a codegen projection/filter —
     any Exchange here would mean the assignment reshuffles the corpus."""

@@ -669,3 +669,93 @@ class TestWavDecode:
         full = self._wav(bytes(100))
         with pytest.raises(ValueError, match="truncated WAV"):
             _decode_wav(full[:-40])  # cut 40 PCM bytes off the end
+
+
+class TestVideoDecode:
+    """YUV4MPEG2 container walk (operators/multimodal._decode_y4m +
+    decode_video/sample_video_frames): real frame geometry, truncation
+    rejection, codec gating, and container-aware sampling."""
+
+    def _payload(self, w=4, h=2, n=3, chroma="C444", fps=b"F30:1"):
+        mult = {"C444": 3, "C420": 3 / 2, "Cmono": 1}[chroma]
+        fb = int(w * h * mult)
+        body = bytes((i * 37) % 256 for i in range(fb))
+        hdr = b"YUV4MPEG2 W%d H%d %s %s\n" % (w, h, fps, chroma.encode())
+        return hdr + b"".join(b"FRAME\n" + body for _ in range(n)), body
+
+    def test_decode_video_geometry_and_features(self, spark):
+        p, body = self._payload(w=4, h=2, n=3)
+        df = spark.createDataFrame([("d1", p), ("d2", None)],
+                                   "doc_id string, payload binary")
+        rows = {r["doc_id"]: r for r in multimodal.decode_video(df).collect()}
+        r = rows["d1"]
+        assert (r["width"], r["height"], r["fps_num"], r["fps_den"],
+                r["n_frames"]) == (4, 2, 30, 1, 3)
+        hist = np.bincount(np.frombuffer(body, np.uint8) >> 5, minlength=8)
+        exp = (hist / hist.sum()).astype(np.float32)
+        assert np.allclose(r["features"], exp)
+        assert rows["d2"]["n_frames"] is None  # NULL payload passthrough
+
+    def test_truncated_frame_rejected(self, spark):
+        p, _ = self._payload(n=2)
+        df = spark.createDataFrame([("d", p[:-5])], "doc_id string, payload binary")
+        with pytest.raises(Exception, match="truncated Y4M"):
+            multimodal.decode_video(df).collect()
+
+    def test_unknown_codec_raises_not_implemented(self, spark):
+        df = spark.createDataFrame([("d", b"\x00\x00\x01\xba mpeg-ps")],
+                                   "doc_id string, payload binary")
+        with pytest.raises(Exception, match="only YUV4MPEG2"):
+            multimodal.decode_video(df).collect()
+
+    def test_sample_video_frames_container_aware(self, spark):
+        p, body = self._payload(w=2, h=2, n=5)
+        df = spark.createDataFrame([("d", p)], "doc_id string, payload binary")
+        got = multimodal.sample_video_frames(df, stride=2, max_frames=2).collect()
+        # frames 0 and 2 (container indices), each the REAL planar bytes
+        assert [(r["frame_idx"], bytes(r["frame_bytes"])) for r in
+                sorted(got, key=lambda r: r["frame_idx"])] == [(0, body), (2, body)]
+
+    def test_sample_matches_full_walk(self, spark):
+        p, body = self._payload(w=2, h=2, n=4)
+        df = spark.createDataFrame([("d", p)], "doc_id string, payload binary")
+        full = multimodal.sample_video_frames(df, stride=1, max_frames=100).collect()
+        assert len(full) == 4 and all(bytes(r["frame_bytes"]) == body for r in full)
+
+
+class TestTwoPhaseCC:
+    """Large-star/small-star CC: equivalence with plain label
+    propagation, and the O(log n) round bound that motivates it."""
+
+    def test_matches_plain_cc_on_random_graph(self, spark):
+        rng = np.random.default_rng(3)
+        pairs = [(int(a), int(b)) for a, b in
+                 zip(rng.integers(0, 200, 150), rng.integers(0, 200, 150))]
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        plain = {tuple(r) for r in
+                 dedup.connected_components(df, id_col="id").collect()}
+        star = {tuple(r) for r in
+                dedup.connected_components_twophase(df, id_col="id").collect()}
+        assert star == plain
+
+    def test_thousand_link_chain_converges_in_log_rounds(self, spark):
+        """Worst case for label propagation: a 10^3-long path needs
+        ~10^3 propagation rounds, but large-star/small-star must close
+        it within ~2*log2(n) alternations — max_iters=12 is the pinned
+        bound (2^12 >> 1000 path length)."""
+        chain = spark.range(1000).selectExpr("id AS id_a", "id + 1 AS id_b")
+        got = dedup.connected_components_twophase(
+            chain, id_col="id", max_iters=12).collect()
+        assert len(got) == 1001
+        assert {r["component"] for r in got} == {0}
+
+    def test_nonconvergence_raises(self, spark):
+        chain = spark.range(100).selectExpr("id AS id_a", "id + 1 AS id_b")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components_twophase(chain, id_col="id", max_iters=1)
+
+    def test_singletons_and_empty(self, spark):
+        df = spark.createDataFrame([(5, 5), (7, 7)], ["id_a", "id_b"])
+        got = {tuple(r) for r in
+               dedup.connected_components_twophase(df, id_col="id").collect()}
+        assert got == {(5, 5), (7, 7)}
