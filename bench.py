@@ -63,7 +63,29 @@ TIMED_QUERIES = [
     # round 3b: as-of (single-exchange window) and Q5 star join
     "asof_last_order",
     "regional_revenue",
+    # round 4: hot-key-safe bucketed as-of (3 exchanges vs 1 — the
+    # skew-insurance overhead should stay a small constant factor)
+    "asof_bucketed",
 ]
+
+# Pinned per-query baselines: best recorded sf0.1 wall seconds from the
+# round-3 runs (BENCH_r03.json + the quiet-host samples in
+# BENCH/BASELINE.md). queries_vs_baseline in the output is
+# measured/baseline — a ratio > 2 on a quiet host is a machine-visible
+# regression, not noise (host variance is documented at +/-30%).
+QUERY_BASELINES_S = {
+    "parse_common": 2.45,
+    "agg_counts_hour": 5.19,
+    "route_counts": 3.69,
+    "token_roundtrip": 3.41,
+    "lineitem_pricing": 0.93,
+    "nation_revenue": 0.72,
+    "last_event_per_user": 0.66,
+    "order_priority_counts": 1.03,
+    "shipping_revenue": 0.77,
+    "asof_last_order": 1.24,
+    "regional_revenue": 1.27,
+}
 
 
 def _corpus_rows() -> int:
@@ -292,6 +314,12 @@ def main() -> None:
         "value": round(tput_hi, 1),
         "unit": "rows/sec",
         "queries": queries,
+        # measured / pinned-round-3-best; only meaningful at sf0.1
+        "queries_vs_baseline": {
+            q: round(queries[q] / QUERY_BASELINES_S[q], 2)
+            for q in queries
+            if q in QUERY_BASELINES_S and float(sf) == 0.1
+        },
         "sf": float(sf),
         "corpus_rows": n,
         "wall_sec_%dexec" % N_EXECUTORS_HI: round(r_hi["wall_sec"], 3),

@@ -95,3 +95,50 @@ def range_enrich(
     v = F.col(value_col)
     cond = (v >= bands[lo_col]) & (v < bands[hi_col])
     return df.join(F.broadcast(bands), cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Explicit key-salting for a skewed equi-join whose build side is
+    too big to broadcast: the RIGHT side is replicated `salt` times
+    (explode over a salt-id array) and the LEFT side gets a
+    deterministic salt id, so the join keys become (key..., salt) and
+    one hot key's rows spread over `salt` reducers instead of one.
+
+    When to reach for it: AQE's skew-join split already handles the
+    common sort-merge case at runtime; explicit salting remains the
+    tool when AQE can't see or split the exchange — stateful/streaming
+    joins, disabled AQE, or when the skew is known ahead of time and
+    replanning mid-query is unwanted. Cost: right side is scanned and
+    shuffled `salt` x (use a salt sized to the skew, not the cluster).
+
+    The left salt is a deterministic hash of the whole row
+    (xxhash64 % salt): retry-stable, and any assignment is correct —
+    each left row meets exactly one replica of every matching right
+    row, so multiplicities are preserved for inner/left joins.
+    Supported `how`: inner, left/left_outer, left_semi, left_anti (the
+    skewed side is the probe side by construction)."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"how must be one of {sorted(allowed)}, got {how!r}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides — "
+            "alias them before salting"
+        )
+    sc = "_salt"
+    lcols = [F.col(c) for c in left.columns]
+    l = left.withColumn(
+        sc, F.pmod(F.xxhash64(*lcols), F.lit(salt)).cast("int")
+    )
+    r = right.withColumn(sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return l.join(r, keys + [sc], how).drop(sc)

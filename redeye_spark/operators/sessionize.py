@@ -46,6 +46,37 @@ def session_stats(df: DataFrame, key: str = "remote_host", ts: str = "timestamp"
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    key: str = "remote_host",
+    ts: str = "timestamp",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE session_window operator
+    (one SessionWindowing + aggregate, no window-function pass) — the
+    built-in twin of session_stats above, and the variant that also
+    runs unchanged under Structured Streaming with merging session
+    state.
+
+    Semantics differ from the lag-based sessionize at the boundary: a
+    native session window spans [start, last_event + gap), so a gap of
+    EXACTLY gap_minutes starts a new session (lag-based splits only on
+    gap > gap_minutes). The oracle mirrors the >= split rule."""
+    g = f"{gap_minutes} minutes"
+    return (
+        df.filter(F.col(ts).isNotNull())
+        .groupBy(F.session_window(F.col(ts), g).alias("sw"), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            (F.max(F.col(ts).cast("long")) - F.min(F.col(ts).cast("long"))).alias(
+                "duration_sec"
+            ),
+            F.min(F.col(ts)).alias("session_start"),
+        )
+        .select(key, "session_start", "n_requests", "duration_sec")
+    )
+
+
 SESSION_STATE_SCHEMA = "last_ts long, session_n long, n_requests long, first_ts long"
 SESSION_OUT_SCHEMA = T.StructType(
     [

@@ -64,11 +64,22 @@ def compact_table(
     target_file_bytes: int = 128 << 20,
     partition_by: list[str] | None = None,
     min_files_to_compact: int = 4,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Rewrite `table` into ~target-size files. Returns a stats dict
     (files/bytes before and after, whether a rewrite ran). No-op when
     the table already has fewer than `min_files_to_compact` files —
     compaction must be safe to run on a schedule.
+
+    ``cluster_by`` additionally sorts the rewrite on those columns (the
+    Parquet-layout analog of Iceberg's sort-order rewrite): an
+    unpartitioned table is range-repartitioned then sorted, so each
+    output file owns a DISJOINT value range of the cluster key —
+    parquet footer min/max then prune whole files for selective scans
+    on that key (pytest asserts the per-file disjointness from the real
+    footers). A partitioned table keeps its partition-hash layout and
+    sorts within tasks: stats tighten per file, pruning still improves,
+    but cross-file ranges inside one partition may touch.
 
     The swap window (two renames) is small but not atomic: a hard kill
     between them leaves the table parked at `<table>__precompact`. The
@@ -107,6 +118,12 @@ def compact_table(
         )
         out = salted.repartition(int(n_out), *partition_by, "_compact_salt").drop(
             "_compact_salt"
+        )
+        if cluster_by:
+            out = out.sortWithinPartitions(*partition_by, *cluster_by)
+    elif cluster_by:
+        out = df.repartitionByRange(int(n_out), *cluster_by).sortWithinPartitions(
+            *cluster_by
         )
     else:
         out = df.repartition(int(n_out))

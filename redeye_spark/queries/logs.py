@@ -322,6 +322,61 @@ FROM cexpected WHERE error_kind IS NULL
 """
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 inverse: the canonical JSON-lines sink output is written to
+    disk as text, read BACK through spark.read.json with an explicit
+    schema, and re-projected to scalar columns against the combined
+    parse oracle — proving the sink emits JSON a downstream Spark
+    consumer loads losslessly (numbers stay numbers, omitted keys
+    surface as NULLs, the nested request_headers mapping round-trips).
+    Rows are keyed by `message` (the trimmed original line, unique per
+    event by construction)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..functions.logparse import FORMAT_COMBINED
+
+    parsed = _parsed(spark, sf_dir, fmt=FORMAT_COMBINED)
+    js = parse_op.to_canonical_json(parsed)
+    base = tempfile.mkdtemp(prefix="redeye_jsonrt_")
+    js.select("json").write.mode("overwrite").text(base + "/out")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    schema = (
+        "`@timestamp` STRING, `@version` STRING, content_length BIGINT, "
+        "ident STRING, message STRING, method STRING, protocol STRING, "
+        "remote_host STRING, remote_user STRING, "
+        "request_headers STRUCT<referer: STRING, `user-agent`: STRING>, "
+        "requested_uri STRING, requested_url STRING, status_code BIGINT"
+    )
+    back = spark.read.schema(schema).json(base + "/out")
+    return back.select(
+        F.col("message"),
+        F.col("`@timestamp`").alias("timestamp_str"),
+        F.col("`@version`").alias("version"),
+        "remote_host", "ident", "remote_user", "method", "protocol",
+        "requested_uri", "requested_url",
+        # double-cast: both nullable numerics surface as float in ANY
+        # pandas slice, so cross-engine dtype classes can't flap on
+        # whether a 50-row sample happens to contain a NULL
+        F.col("status_code").cast("double").alias("status_code"),
+        F.col("content_length").cast("double").alias("content_length"),
+        F.col("request_headers.referer").alias("referer"),
+        F.col("request_headers.`user-agent`").alias("user_agent"),
+    )
+
+
+SQL_JSON_ROUNDTRIP = "WITH " + _oracle_combined_base() + """
+SELECT line AS message, timestamp_str, '1' AS version,
+       remote_host, ident, remote_user, method, protocol,
+       requested_uri, requested_url,
+       CAST(status_code AS DOUBLE) AS status_code,
+       CAST(content_length AS DOUBLE) AS content_length,
+       referer, user_agent
+FROM cexpected WHERE error_kind IS NULL
+"""
+
+
 def q_enrich_ua_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast UA-family lookup join over combined-format parses."""
     from ..functions.logparse import FORMAT_COMBINED
@@ -388,6 +443,55 @@ SELECT remote_host,
        COUNT(*) AS n_requests,
        CAST(MAX(epoch(t)) - MIN(epoch(t)) AS BIGINT) AS duration_sec
 FROM s2 GROUP BY 1, 2
+"""
+
+
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window operator
+    (SessionWindowing node — the built-in that also runs under
+    Structured Streaming with merging state), next to the lag-based
+    q_session_stats so both sessionizers are oracled. Boundary rule
+    differs by design: native sessions split at gap >= 30min (window =
+    [start, last+gap)), the lag-based one at gap > 30min; the oracle
+    states the >= rule."""
+    from ..operators import sessionize as sess_op
+
+    parsed = _parsed(spark, sf_dir).filter(
+        F.col("error_kind").isNull() & F.col("remote_host").isNotNull()
+    )
+    out = sess_op.session_window_stats(
+        parsed, key="remote_host", ts="timestamp", gap_minutes=30
+    )
+    return out.select(
+        "remote_host",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_str"),
+        "n_requests",
+        "duration_sec",
+    )
+
+
+SQL_SESSION_WINDOW_STATS = f"""
+WITH {_oracle_base()},
+ok AS (
+  SELECT remote_host, date_trunc('second', ts_utc) AS t
+  FROM expected WHERE error_kind IS NULL AND remote_host IS NOT NULL
+),
+s AS (
+  SELECT remote_host, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR epoch(t) - epoch(lag(t) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ok WINDOW w AS (PARTITION BY remote_host ORDER BY t)
+),
+s2 AS (
+  SELECT remote_host, t,
+         SUM(new_s) OVER (PARTITION BY remote_host ORDER BY t ROWS UNBOUNDED PRECEDING) AS sn
+  FROM s
+)
+SELECT remote_host,
+       strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS start_str,
+       COUNT(*) AS n_requests,
+       CAST(MAX(epoch(t)) - MIN(epoch(t)) AS BIGINT) AS duration_sec
+FROM s2 GROUP BY remote_host, sn
 """
 
 
@@ -603,6 +707,7 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "token_roundtrip": q_token_roundtrip,
     "json_lines": q_json_lines,
+    "json_roundtrip": q_json_roundtrip,
     "latency_percentiles_approx": q_latency_percentiles_approx,
     "grok_common": q_grok_common,
     "grok_app_log": q_grok_app_log,
@@ -610,6 +715,7 @@ QUERIES = {
     "parse_combined": q_parse_combined,
     "enrich_ua_family": q_enrich_ua_family,
     "session_stats": q_session_stats,
+    "session_window_stats": q_session_window_stats,
 }
 
 ORACLES = {
@@ -623,6 +729,7 @@ ORACLES = {
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "token_roundtrip": SQL_TOKEN_ROUNDTRIP,
     "json_lines": SQL_JSON_LINES,
+    "json_roundtrip": SQL_JSON_ROUNDTRIP,
     "latency_percentiles_approx": SQL_LATENCY_PERCENTILES_APPROX,
     "grok_common": SQL_GROK_COMMON,
     "grok_app_log": _grok_app_oracle_sql(),
@@ -630,4 +737,5 @@ ORACLES = {
     "parse_combined": SQL_PARSE_COMBINED,
     "enrich_ua_family": SQL_ENRICH_UA_FAMILY,
     "session_stats": SQL_SESSION_STATS,
+    "session_window_stats": SQL_SESSION_WINDOW_STATS,
 }

@@ -126,3 +126,63 @@ class TestCompactionReviewRegressions:
         stats = maintenance.compact_table(spark, io, "t", target_file_bytes=1 << 30)
         assert stats["rewritten"] and stats["files_after"] == 1
         assert io.read(spark, "t").count() == 2000
+
+
+class TestClusteredCompaction:
+    def test_cluster_by_produces_disjoint_file_ranges(self, spark, tmp_path):
+        """cluster_by on an unpartitioned table must range-partition +
+        sort the rewrite so each output file owns a disjoint value
+        range of the key — asserted from the REAL parquet footers, the
+        stats a selective scan prunes on."""
+        import pyarrow.parquet as pq
+
+        from redeye_spark.plans.maintenance import compact_table
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        # 12 small files of interleaved keys: every file spans the whole
+        # key range, so before compaction NO file is prunable
+        df = spark.range(12_000).selectExpr(
+            "id % 1000 AS k", "id AS v"
+        ).repartition(12)
+        io.write(df, "t", mode="overwrite")
+        stats = compact_table(
+            spark, io, "t", target_file_bytes=20_000, cluster_by=["k"]
+        )
+        assert stats["rewritten"] and stats["files_after"] > 1
+
+        ranges = []
+        root = io.location("t")
+        import os as _os
+        for f in sorted(_os.listdir(root)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(_os.path.join(root, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                mins.append(st.min); maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert lo2 >= hi1, f"overlapping file ranges {ranges}"
+        # rows preserved
+        assert io.read(spark, "t").count() == 12_000
+
+    def test_cluster_by_with_partitions_sorts_within(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import compact_table
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        df = spark.range(4000).selectExpr(
+            "CAST(id % 3 AS STRING) AS p", "id % 500 AS k", "id AS v"
+        ).repartition(8)
+        io.write(df, "t", mode="overwrite", partition_by=["p"])
+        stats = compact_table(
+            spark, io, "t", target_file_bytes=10_000,
+            partition_by=["p"], cluster_by=["k"],
+        )
+        assert stats["rewritten"]
+        got = io.read(spark, "t")
+        assert got.count() == 4000
+        assert got.filter("p = '1'").count() == 1333  # pruning intact

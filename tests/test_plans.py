@@ -344,3 +344,45 @@ def test_hopping_counts_partial_aggregates_before_shuffle(spark):
     p = plan_of(EQ.q_hopping_counts(spark, "/root/testdata/sf0.001"))
     assert p.count("HashAggregate") >= 2, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+class TestSaltedJoin:
+    def test_equivalence_and_hot_key_spread(self, spark):
+        """salted_join must return exactly the plain join's rows (incl.
+        duplicate multiplicities) while its shuffle keys include the
+        salt column, spreading one hot key over `salt` reducers."""
+        from redeye_spark.operators.enrich import salted_join
+
+        left = spark.range(5000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 'hot' ELSE CAST(id % 7 AS STRING) END AS k",
+            "id AS lv")
+        right = spark.range(40).selectExpr(
+            "CASE WHEN id % 4 = 0 THEN 'hot' ELSE CAST(id % 7 AS STRING) END AS k",
+            "id AS rv")
+        import pandas as pd
+
+        for how in ("inner", "left", "left_semi", "left_anti"):
+            a = left.join(right, "k", how).toPandas()
+            b = salted_join(left, right, "k", how=how, salt=6).toPandas()
+            cols = list(a.columns)
+            a = a.sort_values(cols).reset_index(drop=True)
+            b = b[cols].sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # the shuffle-spread claim needs a shuffle join: disable the
+        # auto-broadcast (a broadcast join has no exchange to salt)
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = plan_of(salted_join(left, right, "k", salt=6))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        assert "_salt" in p and "hashpartitioning(k" in p, p
+
+    def test_salted_join_rejects_right_joins_and_collisions(self, spark):
+        from redeye_spark.operators.enrich import salted_join
+
+        df = spark.range(3).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+        with pytest.raises(ValueError, match="how must be"):
+            salted_join(df, df.selectExpr("k", "v AS w"), "k", how="right")
+        with pytest.raises(ValueError, match="both sides"):
+            salted_join(df, df, "k")
