@@ -351,6 +351,85 @@ def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly k orders —
+    LEFT OUTER join with an extra join-side predicate (urgent orders
+    excluded IN the join condition, so order-less customers still count
+    with k=0), then a two-level aggregate (per-customer count ->
+    count-of-counts). The outer join shuffles both sides on custkey;
+    the second aggregate is a near-free rollup of the first's output."""
+    _utc(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cond = (cust.c_custkey == orders.o_custkey) & (
+        orders.o_orderpriority != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cond, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_top_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, THROUGH THE SQL API (spark.sql over temp
+    views): customers with above-average positive balance and no orders
+    since 2000 (every customer has SOME order in this corpus, so the
+    recency cut keeps the anti-join non-trivial — 55 rows at sf0.01) —
+    a scalar aggregate subquery (planned as a one-row broadcast) plus
+    NOT EXISTS (planned as a left-anti join), the two classic
+    decorrelation shapes. Money compared in integer cents with
+    an exact cross-multiplied mean test (bal*n > total), because a
+    float average threshold could flip rows by one ulp between engines
+    — and Spark CAST(double AS BIGINT) truncates while DuckDB rounds,
+    so the cents conversion uses an explicit floor()."""
+    _utc(spark)
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(SQL_TOP_BALANCE_INACTIVE)
+
+
+# identical ANSI text runs on both engines: the strongest cross-engine
+# statement of SQL-surface parity this suite can make
+SQL_TOP_BALANCE_INACTIVE = """
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+thr AS (
+  SELECT SUM(bal_cents) AS total, COUNT(*) AS n
+  FROM cents WHERE bal_cents > 0
+)
+SELECT c_nationkey AS nation,
+       COUNT(*) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+FROM cents, thr
+WHERE bal_cents * n > total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 SQL_ASOF_LAST_ORDER = """
 WITH m AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,
@@ -769,6 +848,8 @@ QUERIES = {
     "shipping_revenue": q_shipping_revenue,
     "asof_last_order": q_asof_last_order,
     "asof_bucketed": q_asof_bucketed,
+    "customer_order_distribution": q_customer_order_distribution,
+    "top_balance_inactive": q_top_balance_inactive,
     "value_band_counts": q_value_band_counts,
     "regional_revenue": q_regional_revenue,
     "hopping_counts": q_hopping_counts,
@@ -793,6 +874,8 @@ ORACLES = {
     "shipping_revenue": SQL_SHIPPING_REVENUE,
     "asof_last_order": SQL_ASOF_LAST_ORDER,
     "asof_bucketed": SQL_ASOF_LAST_ORDER,
+    "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    "top_balance_inactive": SQL_TOP_BALANCE_INACTIVE,
     "value_band_counts": SQL_VALUE_BAND_COUNTS,
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "hopping_counts": SQL_HOPPING_COUNTS,
