@@ -71,3 +71,39 @@ def stratified_sample(
     key = F.concat(F.col(strata_col).cast("string"), F.lit("|"), F.col(id_col).cast("string"))
     b = hash_bucket(key, "strat", seed)
     return df.filter(b < int(fraction * N_BUCKETS))
+
+
+def mix_corpora(
+    corpora: list[tuple[DataFrame, str, float]],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic training-mix assembly: union several corpora, each
+    downsampled to its mixture weight — the "20% code, 30% web, 50%
+    curated" recipe every LLM data pipeline ends in. Each (df, name,
+    weight) contributes the rows whose md5 bucket (keyed by the CORPUS
+    NAME + id, so the same id draws independently per corpus) falls
+    under floor(weight*256), tagged with a `corpus` column.
+
+    Same scale shape as the other samplers: per-row codegen projection
+    + filter, no shuffle, no rand() — membership is a pure function of
+    (seed, name, id), so re-running the mix next month (or after a
+    task retry) yields byte-identical membership, and the realized
+    weights are exact multiples of 1/256 by construction."""
+    if not corpora:
+        raise ValueError("mix_corpora needs at least one (df, name, weight)")
+    parts = []
+    for df, name, weight in corpora:
+        if not (0.0 <= weight <= 1.0):
+            raise ValueError(f"weight for {name!r} must be in [0, 1], got {weight}")
+        key = F.concat(F.lit(f"{name}|"), F.col(id_col).cast("string"))
+        b = hash_bucket(key, "mix", seed)
+        parts.append(
+            df.filter(b < int(weight * N_BUCKETS)).withColumn(
+                "corpus", F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -430,6 +430,48 @@ GROUP BY c_nationkey
 """
 
 
+def q_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD window shape: per-user inter-event gaps (time-to-next-event
+    — the retention/engagement primitive), aggregated as exact integer
+    microseconds (sum/max/count, division left to the consumer) so
+    microsecond-precision timestamps at sf0.1 can't float-flap the
+    hash. Deterministic tiebreak on event_id for equal timestamps."""
+    from pyspark.sql.window import Window
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    # parquet timestamps are NTZ; session TZ is pinned UTC, so the
+    # TIMESTAMP cast is instant-preserving and unix_micros stays exact
+    mic = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap = mic(F.lead("ts").over(w)) - mic(F.col("ts"))
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+SQL_USER_GAP_STATS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 SQL_ASOF_LAST_ORDER = """
 WITH m AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,
@@ -850,6 +892,7 @@ QUERIES = {
     "asof_bucketed": q_asof_bucketed,
     "customer_order_distribution": q_customer_order_distribution,
     "top_balance_inactive": q_top_balance_inactive,
+    "user_gap_stats": q_user_gap_stats,
     "value_band_counts": q_value_band_counts,
     "regional_revenue": q_regional_revenue,
     "hopping_counts": q_hopping_counts,
@@ -876,6 +919,7 @@ ORACLES = {
     "asof_bucketed": SQL_ASOF_LAST_ORDER,
     "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
     "top_balance_inactive": SQL_TOP_BALANCE_INACTIVE,
+    "user_gap_stats": SQL_USER_GAP_STATS,
     "value_band_counts": SQL_VALUE_BAND_COUNTS,
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "hopping_counts": SQL_HOPPING_COUNTS,

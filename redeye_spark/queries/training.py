@@ -643,6 +643,40 @@ FROM b
 """
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix assembly (sampling.mix_corpora): the
+    documents table split into two pseudo-corpora by doc_id parity,
+    mixed at 75% / 25% — each corpus's membership cut is an independent
+    md5 bucket keyed by (corpus name, id), so the oracle rebuilds every
+    draw from the same hex digits."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    web = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    code = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    mixed = sampling.mix_corpora(
+        [(web, "web", 0.75), (code, "code", 0.25)], id_col="doc_id"
+    )
+    return mixed.select("doc_id", "source", "corpus")
+
+
+def _mix_bucket_sql(name: str) -> str:
+    k = f"'mix42:' || '{name}|' || CAST(doc_id AS VARCHAR)"
+    return (
+        f"(strpos('0123456789abcdef', substr(md5({k}), 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(md5({k}), 2, 1)) - 1)"
+    )
+
+
+SQL_CORPUS_MIX = f"""
+SELECT doc_id, source, 'web' AS corpus
+FROM documents WHERE doc_id % 2 = 0 AND {_mix_bucket_sql('web')} < 192
+UNION ALL
+SELECT doc_id, source, 'code' AS corpus
+FROM documents WHERE doc_id % 2 = 1 AND {_mix_bucket_sql('code')} < 64
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source 20% sample (bucket keyed by
     (source, doc_id), so draws are independent across strata but stable
@@ -863,6 +897,7 @@ QUERIES = {
     "dedup_cc_star": q_dedup_cc_star,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
+    "corpus_mix": q_corpus_mix,
     "tfidf_terms": q_tfidf_terms,
     "decontaminate": q_decontaminate,
     "curation_pipeline": q_curation_pipeline,
@@ -892,6 +927,7 @@ ORACLES = {
     "dedup_cc_star": SQL_DEDUP_CC,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "corpus_mix": SQL_CORPUS_MIX,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "decontaminate": SQL_DECONTAMINATE,
     "curation_pipeline": SQL_CURATION_PIPELINE,

@@ -196,6 +196,59 @@ def start_error_correlation_stream(
     return writer.start()
 
 
+def start_session_stream(
+    spark: SparkSession,
+    source_path: str,
+    out_path: str,
+    checkpoint: str,
+    cfg: PipelineConfig | None = None,
+    key_col: str = "remote_host",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked NATIVE session windows over the parsed stream:
+    `F.session_window` under readStream keeps per-key MERGING session
+    state (two sessions fuse when a bridging event arrives) and emits a
+    session once the watermark passes its close — the built-in
+    streaming sessionizer next to the custom applyInPandasWithState one
+    (operators/sessionize.py), exercising the merging-state code path
+    the custom operator avoids. State is O(open sessions), bounded by
+    the watermark. Default single-batch trigger keeps the emitted set
+    deterministic (= sessions the terminal watermark closed)."""
+    cfg = cfg or PipelineConfig()
+    if max_files_per_trigger is None:
+        raw = spark.readStream.schema(RAW_SEQUENCES).parquet(source_path)
+    else:
+        raw = read_stream(spark, source_path, max_files_per_trigger)
+    tagged = build_tagged(spark, raw, cfg).filter(
+        F.col("timestamp").isNotNull() & F.col(key_col).isNotNull()
+    )
+    sessions = (
+        tagged.withWatermark("timestamp", watermark)
+        .groupBy(F.session_window("timestamp", gap).alias("sw"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            (
+                F.max(F.col("timestamp").cast("long"))
+                - F.min(F.col("timestamp").cast("long"))
+            ).alias("duration_sec"),
+            F.min("timestamp").alias("session_start"),
+        )
+        .select(key_col, "session_start", "n_requests", "duration_sec")
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_dedup_stream(
     spark: SparkSession,
     input_path: str,

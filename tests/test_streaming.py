@@ -170,3 +170,51 @@ def test_hopping_windowed_counts_stream_matches_batch(spark, source_dir, tmp_pat
     assert len(g) > 0
     pd.testing.assert_frame_equal(g[sorted(g.columns)], e[sorted(e.columns)],
                                   check_dtype=False)
+
+
+def test_session_window_stream_matches_batch(spark, source_dir, tmp_path_factory):
+    """Native session_window under readStream must emit exactly the
+    sessions the batch session_window_stats computes, restricted to
+    those the terminal watermark closed (a session closes at
+    last_event + gap; only sessions with close <= max_ts - watermark
+    are emitted in append mode)."""
+    base, _pdf = source_dir
+    out = str(tmp_path_factory.mktemp("sess_out"))
+    cfg = PipelineConfig(fmt=FORMAT_COMBINED)
+
+    q = stream_mod.start_session_stream(
+        spark, base, out + "/o", out + "/ckpt", cfg,
+        key_col="remote_host", gap="30 minutes", watermark="2 hours",
+    )
+    assert q.awaitTermination(300)
+    got = (
+        spark.read.parquet(out + "/o")
+        .toPandas()
+        .sort_values(["remote_host", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    from redeye_spark.operators.sessionize import session_window_stats
+    from redeye_spark.plans.pipeline import build_tagged
+
+    tagged = build_tagged(spark, spark.read.parquet(base), cfg).filter(
+        F.col("timestamp").isNotNull() & F.col("remote_host").isNotNull()
+    )
+    batch = session_window_stats(tagged, key="remote_host", ts="timestamp",
+                                 gap_minutes=30)
+    max_ts = tagged.agg(F.max(F.col("timestamp").cast("long"))).collect()[0][0]
+    exp = (
+        batch.withColumn(
+            "_close",
+            F.col("session_start").cast("long") + F.col("duration_sec") + 1800,
+        )
+        .filter(F.col("_close") <= max_ts - 7200)
+        .drop("_close")
+        .toPandas()
+        .sort_values(["remote_host", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0, "fixture closed no sessions — widen the corpus"
+    pd.testing.assert_frame_equal(
+        got[exp.columns], exp, check_dtype=False
+    )

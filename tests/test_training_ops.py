@@ -759,3 +759,44 @@ class TestTwoPhaseCC:
         got = {tuple(r) for r in
                dedup.connected_components_twophase(df, id_col="id").collect()}
         assert got == {(5, 5), (7, 7)}
+
+
+class TestMixCorpora:
+    def test_mix_is_deterministic_and_weighted(self, spark):
+        from redeye_spark.operators import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+            .select("doc_id", "text")
+        a = docs.filter("doc_id % 2 = 0")
+        b = docs.filter("doc_id % 2 = 1")
+        mix = [(a, "web", 0.75), (b, "code", 0.25)]
+        r1 = sampling.mix_corpora(mix).groupBy("corpus").count().toPandas()
+        r2 = sampling.mix_corpora(mix).groupBy("corpus").count().toPandas()
+        got = dict(zip(r1["corpus"], r1["count"]))
+        assert got == dict(zip(r2["corpus"], r2["count"]))  # retry-stable
+        # realized weights quantized at /256: allow generous tolerance
+        assert abs(got["web"] / a.count() - 0.75) < 0.1
+        assert abs(got["code"] / b.count() - 0.25) < 0.1
+
+    def test_mix_independent_draws_per_corpus(self, spark):
+        """The SAME id must draw independently under different corpus
+        names (the bucket is keyed by name|id)."""
+        from redeye_spark.operators import sampling
+
+        docs = spark.range(400).selectExpr("id AS doc_id")
+        m = sampling.mix_corpora(
+            [(docs, "x", 0.5), (docs, "y", 0.5)], id_col="doc_id"
+        ).toPandas()
+        xs = set(m[m.corpus == "x"].doc_id)
+        ys = set(m[m.corpus == "y"].doc_id)
+        assert xs != ys  # independent, not the same half twice
+        assert 0 < len(xs & ys) < min(len(xs), len(ys))
+
+    def test_mix_validates_inputs(self, spark):
+        from redeye_spark.operators import sampling
+
+        df = spark.range(3).selectExpr("id AS doc_id")
+        with pytest.raises(ValueError, match="at least one"):
+            sampling.mix_corpora([])
+        with pytest.raises(ValueError, match="weight"):
+            sampling.mix_corpora([(df, "x", 1.5)])
