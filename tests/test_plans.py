@@ -420,3 +420,33 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+# Queries whose construction EXECUTES work (streams run to completion,
+# iterative algorithms collect, sinks write) — their plans are audited
+# by their own tests; calling them here would re-run minutes of work.
+_EAGER_QUERIES = {
+    "stream_counts", "stream_counts_multibatch", "json_roundtrip",
+    "dedup_cc", "dedup_cc_star",
+}
+
+
+def test_no_registry_query_plans_cartesian_or_row_python(spark):
+    """Structural floor for the WHOLE registry: no query may plan a
+    CartesianProduct (unbounded row blow-up) or a row-at-a-time Python
+    eval (BatchEvalPython/PythonUDF — the 10-100x-slower UDF path; all
+    Python in this repo goes through Arrow-batched mapInPandas/
+    mapInArrow). Catches a regressing operator the day it lands, for
+    every current and future queries() entry."""
+    from redeye_spark import entry_queries as EQ
+
+    bad = {}
+    for name, q in sorted(EQ.QUERIES.items()):
+        if name in _EAGER_QUERIES:
+            continue
+        plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+        hits = [pat for pat in ("CartesianProduct", "BatchEvalPython")
+                if pat in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, bad
