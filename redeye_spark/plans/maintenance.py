@@ -1,4 +1,4 @@
-"""Table maintenance: small-file compaction.
+"""Table maintenance: small-file compaction, sort-order rewrite, upsert.
 
 A streaming/checkpointed pipeline appending micro-batches (or per-chunk
 commits) accretes many small files per sink; at 100 TB the scan-side
@@ -151,3 +151,108 @@ def compact_table(
         "files_before": files_before, "bytes_before": bytes_before,
         "files_after": files_after, "bytes_after": bytes_after,
     }
+
+
+def upsert_table(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    updates,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+    order_col: str | None = None,
+    max_touched_partitions: int = 10_000,
+) -> dict:
+    """Latest-wins MERGE INTO for the Parquet layout (the Iceberg
+    `MERGE INTO t USING u ON keys WHEN MATCHED UPDATE WHEN NOT MATCHED
+    INSERT` analog): rows of `updates` replace same-key rows of
+    `table`, new keys append.
+
+    - `order_col`: when updates may carry several versions of one key,
+      the row with the greatest order_col wins; without it, updates
+      must be unique per key (asserted — silently picking one would be
+      a correctness lottery).
+    - Partitioned tables must have `partition_by ⊆ key_cols` (a key
+      that could move partitions would leave its stale row behind in an
+      untouched partition — refused rather than silently wrong). Only
+      the partitions PRESENT in updates are rewritten: the merge reads
+      just those partitions (semi-join prunes the scan), and the write
+      commits through dynamic partition overwrite, so a crash before
+      job commit leaves the table untouched and a re-run is idempotent
+      (merging already-applied updates is a no-op). The merged slice is
+      localCheckpoint()ed first — Spark refuses to overwrite a path the
+      plan still reads, and the checkpoint truncates that lineage; the
+      materialized slice is bounded by the touched partitions.
+    - Unpartitioned tables rewrite through a temp table + the same
+      atomic directory swap compaction uses (crash-safe, self-healing
+      via the __precompact recovery path there).
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(io, ParquetIO):
+        raise TypeError(
+            "upsert_table only understands the Parquet directory layout; "
+            "Iceberg tables have native MERGE INTO"
+        )
+    if partition_by and not set(partition_by) <= set(key_cols):
+        raise ValueError(
+            f"partition columns {partition_by} must be a subset of key "
+            f"columns {key_cols}: a key that moves partitions would leave "
+            "a stale duplicate behind"
+        )
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        dup = updates.groupBy(*key_cols).count().filter("count > 1").limit(1)
+        if dup.count() > 0:
+            raise ValueError(
+                "updates carry multiple rows per key and no order_col — "
+                "latest-wins needs an ordering"
+            )
+    n_updates = updates.count()
+    if not os.path.isdir(io.location(table)):
+        io.write(updates, table, mode="overwrite", partition_by=partition_by)
+        return {"table": table, "rows_upserted": n_updates, "created": True}
+
+    existing = io.read(spark, table)
+    if partition_by:
+        touched = updates.select(*partition_by).distinct()
+        n_touched = touched.limit(max_touched_partitions + 1).count()
+        if n_touched > max_touched_partitions:
+            raise ValueError(
+                f"updates touch > {max_touched_partitions} partitions — "
+                "that is a rewrite, use compact/overwrite instead"
+            )
+        base = existing.join(F.broadcast(touched), partition_by, "left_semi")
+        merged = (
+            base.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+            .unionByName(updates)
+            .localCheckpoint()  # cut lineage: can't overwrite a read path
+        )
+        io.write(merged, table, mode="overwrite_partitions", partition_by=partition_by)
+        return {
+            "table": table, "rows_upserted": n_updates,
+            "partitions_touched": n_touched, "created": False,
+        }
+
+    merged = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(updates)
+    tmp = f"{table}__upserting"
+    io.delete(spark, tmp)
+    io.write(merged, tmp, mode="overwrite")
+    backup = io.location(f"{table}__precompact")
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(io.location(table), backup)
+    try:
+        os.rename(io.location(tmp), io.location(table))
+    except OSError:
+        os.rename(backup, io.location(table))
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"table": table, "rows_upserted": n_updates, "created": False}

@@ -186,3 +186,92 @@ class TestClusteredCompaction:
         got = io.read(spark, "t")
         assert got.count() == 4000
         assert got.filter("p = '1'").count() == 1333  # pruning intact
+
+
+class TestUpsert:
+    def _io(self, tmp_path):
+        from redeye_spark.sources.io import ParquetIO
+        return ParquetIO(str(tmp_path))
+
+    def test_unpartitioned_latest_wins(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import upsert_table
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"), "t")
+        st = upsert_table(
+            spark, io, "t",
+            spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+            key_cols=["k"])
+        assert st["rows_upserted"] == 2 and not st["created"]
+        got = {r["k"]: r["v"] for r in io.read(spark, "t").collect()}
+        assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    def test_partitioned_rewrites_only_touched_partitions(self, spark, tmp_path):
+        import os
+        from redeye_spark.plans.maintenance import upsert_table
+
+        io = self._io(tmp_path)
+        base = spark.createDataFrame(
+            [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")],
+            "p string, k long, v string")
+        io.write(base, "t", partition_by=["p"])
+        d2_files = sorted(os.listdir(io.location("t") + "/p=d2"))
+        d2_mtimes = [os.path.getmtime(io.location("t") + "/p=d2/" + f)
+                     for f in d2_files]
+
+        st = upsert_table(
+            spark, io, "t",
+            spark.createDataFrame([("d1", 2, "B"), ("d1", 9, "z")],
+                                  "p string, k long, v string"),
+            key_cols=["p", "k"], partition_by=["p"])
+        assert st["partitions_touched"] == 1
+        got = {(r["p"], r["k"]): r["v"] for r in io.read(spark, "t").collect()}
+        assert got == {("d1", 1): "a", ("d1", 2): "B", ("d1", 9): "z",
+                       ("d2", 3): "c"}
+        # untouched partition's files are bit-for-bit untouched
+        assert sorted(os.listdir(io.location("t") + "/p=d2")) == d2_files
+        assert [os.path.getmtime(io.location("t") + "/p=d2/" + f)
+                for f in d2_files] == d2_mtimes
+
+    def test_order_col_picks_latest_version(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import upsert_table
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame([(1, "a", 0)], "k long, v string, ver long"), "t")
+        upsert_table(
+            spark, io, "t",
+            spark.createDataFrame([(1, "v1", 1), (1, "v2", 2), (2, "x", 1)],
+                                  "k long, v string, ver long"),
+            key_cols=["k"], order_col="ver")
+        got = {r["k"]: r["v"] for r in io.read(spark, "t").collect()}
+        assert got == {1: "v2", 2: "x"}
+
+    def test_ambiguous_updates_rejected(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import upsert_table
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame([(1, "a")], "k long, v string"), "t")
+        with pytest.raises(ValueError, match="order_col"):
+            upsert_table(spark, io, "t",
+                         spark.createDataFrame([(1, "x"), (1, "y")],
+                                               "k long, v string"),
+                         key_cols=["k"])
+
+    def test_partition_moving_keys_refused(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import upsert_table
+
+        io = self._io(tmp_path)
+        df = spark.createDataFrame([("d1", 1, "a")], "p string, k long, v string")
+        io.write(df, "t", partition_by=["p"])
+        with pytest.raises(ValueError, match="subset"):
+            upsert_table(spark, io, "t", df, key_cols=["k"], partition_by=["p"])
+
+    def test_creates_missing_table(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import upsert_table
+
+        io = self._io(tmp_path)
+        st = upsert_table(spark, io, "t",
+                          spark.createDataFrame([(1, "a")], "k long, v string"),
+                          key_cols=["k"])
+        assert st["created"] and io.read(spark, "t").count() == 1
