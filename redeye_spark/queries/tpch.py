@@ -472,6 +472,70 @@ GROUP BY user_id
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two specific nations,
+    by supplier nation, customer nation, and ship year — the two-fact
+    chain (lineitem SMJ orders) with THREE broadcast dims, one of them
+    (nation) joined TWICE under different roles, plus a symmetric
+    either-direction pair filter. Exercises dim aliasing / multi-role
+    broadcast, and exact decimal revenue."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)")
+                 * (F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 SQL_ASOF_LAST_ORDER = """
 WITH m AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,
@@ -893,6 +957,7 @@ QUERIES = {
     "customer_order_distribution": q_customer_order_distribution,
     "top_balance_inactive": q_top_balance_inactive,
     "user_gap_stats": q_user_gap_stats,
+    "volume_shipping": q_volume_shipping,
     "value_band_counts": q_value_band_counts,
     "regional_revenue": q_regional_revenue,
     "hopping_counts": q_hopping_counts,
@@ -920,6 +985,7 @@ ORACLES = {
     "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
     "top_balance_inactive": SQL_TOP_BALANCE_INACTIVE,
     "user_gap_stats": SQL_USER_GAP_STATS,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
     "value_band_counts": SQL_VALUE_BAND_COUNTS,
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "hopping_counts": SQL_HOPPING_COUNTS,
