@@ -735,17 +735,20 @@ def contaminated_ids(
     A HUGE eval suite would OOM that broadcast, so the plan degrades
     instead: when the distinct exploded gram count exceeds
     ``max_broadcast_grams`` (~60-100 MB of broadcast at 1M grams; pass
-    None to force broadcast), the semi-join falls back to a plain
-    shuffle sort-merge join — the train side then shuffles 16-byte
-    (gram-hash, id) pairs once, which is the correct trade when the
-    build side no longer fits an executor. Both paths are
-    equivalence-tested; the count probe is one cheap aggregate over the
-    (small) eval side only."""
+    None to force broadcast AND keep the call fully lazy), the
+    semi-join falls back to a plain shuffle sort-merge join on the raw
+    gram strings — bigger shuffle rows than a hash key, but collision-
+    free (a 64-bit gram hash could mark an innocent train doc
+    contaminated). Both paths are equivalence-tested. Note the size
+    probe is an EAGER job over the eval side at call time (adaptive
+    plan choice can't be lazy); the eval gram set is persisted so the
+    probe and the join share one computation of the explode+distinct."""
     train_grams = _word_ngrams(train, id_col, text_col, n)
     eval_grams = _word_ngrams(eval_df, id_col, text_col, n).select("gram").distinct()
     if max_broadcast_grams is not None:
         # bounded probe: eval_grams is the small side by assumption; the
         # limit caps the scan even when that assumption is wrong
+        eval_grams = eval_grams.persist()
         over = (
             eval_grams.limit(max_broadcast_grams + 1).count()
             > max_broadcast_grams

@@ -117,10 +117,15 @@ def salted_join(
     replanning mid-query is unwanted. Cost: right side is scanned and
     shuffled `salt` x (use a salt sized to the skew, not the cluster).
 
-    The left salt is a deterministic hash of the whole row
-    (xxhash64 % salt): retry-stable, and any assignment is correct —
-    each left row meets exactly one replica of every matching right
-    row, so multiplicities are preserved for inner/left joins.
+    ANY left-salt assignment is correct — each left row meets exactly
+    one replica of every matching right row, so multiplicities are
+    preserved — so the salt is chosen for SPREAD, not identity:
+    pmod(monotonically_increasing_id(), salt) gives consecutive rows
+    consecutive salts, which spreads even a hot key of byte-identical
+    duplicate rows (a whole-row hash would hand all duplicates the same
+    salt and re-serialize the hot key while still paying the salt-x
+    right-side replication). The id is a pure function of (partition,
+    row position), so a retried task re-derives the same salts.
     Supported `how`: inner, left/left_outer, left_semi, left_anti (the
     skewed side is the probe side by construction)."""
     allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
@@ -136,9 +141,8 @@ def salted_join(
             "alias them before salting"
         )
     sc = "_salt"
-    lcols = [F.col(c) for c in left.columns]
     l = left.withColumn(
-        sc, F.pmod(F.xxhash64(*lcols), F.lit(salt)).cast("int")
+        sc, F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
     )
     r = right.withColumn(sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return l.join(r, keys + [sc], how).drop(sc)

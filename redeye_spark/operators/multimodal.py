@@ -260,7 +260,7 @@ _Y4M_HEADER = re.compile(rb"^YUV4MPEG2((?: [^ \n]+)*)\n")
 _Y4M_CHROMA = {"420": (3, 2), "422": (2, 1), "444": (3, 1), "mono": (1, 1)}
 
 
-def _decode_y4m(payload: bytes):
+def _decode_y4m(payload: bytes, with_features: bool = True):
     """Real decode of one YUV4MPEG2 (Y4M) stream, pure numpy: parse the
     stream header (W/H/F/C params), then walk the FRAME markers,
     validating each frame's fixed-size planar payload and accumulating
@@ -268,7 +268,10 @@ def _decode_y4m(payload: bytes):
     headers excluded). Y4M is the video analog of binary PPM /
     PCM WAV — a raw uncompressed container decodable without
     ffmpeg/opencv, which makes the video path REAL here. Returns
-    (width, height, fps_num, fps_den, n_frames, features)."""
+    (width, height, fps_num, fps_den, n_frames, features) —
+    features is None when with_features=False (validation/geometry-only
+    walk: the per-byte histogram pass is the dominant cost and callers
+    like the frame sampler don't need it)."""
     m = _Y4M_HEADER.match(payload)
     if m is None:
         raise NotImplementedError(
@@ -313,11 +316,17 @@ def _decode_y4m(payload: bytes):
                 f"truncated Y4M: frame {n_frames} needs {frame_bytes} bytes, "
                 f"only {len(payload) - body_start} present"
             )
-        hist += np.bincount(data[body_start : body_start + frame_bytes] >> 5,
-                            minlength=8)
+        if with_features:
+            hist += np.bincount(
+                data[body_start : body_start + frame_bytes] >> 5, minlength=8
+            )
         n_frames += 1
         pos = body_start + frame_bytes
-    feats = (hist / (hist.sum() or 1.0)).astype(np.float32).tolist()
+    feats = (
+        (hist / (hist.sum() or 1.0)).astype(np.float32).tolist()
+        if with_features
+        else None
+    )
     return w, h, fps_num, fps_den, n_frames, feats
 
 
@@ -379,9 +388,9 @@ def sample_video_frames(
                         f"unknown video codec (magic {payload[:4]!r}); only "
                         "YUV4MPEG2 (Y4M) decodes in this environment"
                     )
-                # reuse the full walk for validation + geometry, then
-                # re-walk emitting the sampled bodies
-                w, h, _, _, n_frames, _ = _decode_y4m(payload)
+                # geometry/validation-only walk (no histogram pass),
+                # then re-walk emitting the sampled bodies
+                w, h, _, _, n_frames, _ = _decode_y4m(payload, with_features=False)
                 chroma = "420"
                 for tok in m.group(1).split():
                     if tok[:1] == b"C":

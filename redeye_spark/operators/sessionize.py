@@ -51,6 +51,7 @@ def session_window_stats(
     key: str = "remote_host",
     ts: str = "timestamp",
     gap_minutes: int = 30,
+    gap: str | None = None,
 ) -> DataFrame:
     """Per-session aggregates via Spark's NATIVE session_window operator
     (one SessionWindowing + aggregate, no window-function pass) — the
@@ -61,8 +62,13 @@ def session_window_stats(
     Semantics differ from the lag-based sessionize at the boundary: a
     native session window spans [start, last_event + gap), so a gap of
     EXACTLY gap_minutes starts a new session (lag-based splits only on
-    gap > gap_minutes). The oracle mirrors the >= split rule."""
-    g = f"{gap_minutes} minutes"
+    gap > gap_minutes). The oracle mirrors the >= split rule.
+
+    Runs unchanged on a watermarked STREAMING frame — streaming.
+    start_session_stream wraps exactly this function, so batch and
+    stream share one definition of a session. `gap` (an interval
+    string) overrides gap_minutes when given."""
+    g = gap or f"{gap_minutes} minutes"
     return (
         df.filter(F.col(ts).isNotNull())
         .groupBy(F.session_window(F.col(ts), g).alias("sw"), F.col(key))

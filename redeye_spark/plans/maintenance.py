@@ -200,6 +200,25 @@ def upsert_table(
             f"columns {key_cols}: a key that moves partitions would leave "
             "a stale duplicate behind"
         )
+    # same crash-window recovery as compact_table: a kill between the
+    # two swap renames below parks the table at __precompact — without
+    # this, a re-run would see "no table" and create one holding ONLY
+    # the updates, silently dropping every pre-existing row
+    backup = io.location(f"{table}__precompact")
+    if not os.path.isdir(io.location(table)) and os.path.isdir(backup):
+        os.rename(backup, io.location(table))
+    # NULL keys never equi-join: a NULL-keyed update would APPEND next
+    # to the row it meant to replace, and a NULL partition value would
+    # make dynamic overwrite REPLACE that partition while the semi-join
+    # failed to carry its existing rows — both silently corrupting.
+    null_key = updates.filter(
+        " OR ".join(f"{c} IS NULL" for c in key_cols)
+    ).limit(1)
+    if null_key.count() > 0:
+        raise ValueError(
+            f"updates contain NULL in key columns {key_cols} — NULL keys "
+            "cannot be matched for replacement"
+        )
     if order_col is not None:
         w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         updates = (
@@ -246,7 +265,6 @@ def upsert_table(
     tmp = f"{table}__upserting"
     io.delete(spark, tmp)
     io.write(merged, tmp, mode="overwrite")
-    backup = io.location(f"{table}__precompact")
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(io.location(table), backup)
     try:

@@ -222,21 +222,16 @@ def start_session_stream(
         raw = spark.readStream.schema(RAW_SEQUENCES).parquet(source_path)
     else:
         raw = read_stream(spark, source_path, max_files_per_trigger)
+    from ..operators.sessionize import session_window_stats
+
     tagged = build_tagged(spark, raw, cfg).filter(
         F.col("timestamp").isNotNull() & F.col(key_col).isNotNull()
     )
-    sessions = (
-        tagged.withWatermark("timestamp", watermark)
-        .groupBy(F.session_window("timestamp", gap).alias("sw"), F.col(key_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_requests"),
-            (
-                F.max(F.col("timestamp").cast("long"))
-                - F.min(F.col("timestamp").cast("long"))
-            ).alias("duration_sec"),
-            F.min("timestamp").alias("session_start"),
-        )
-        .select(key_col, "session_start", "n_requests", "duration_sec")
+    # one definition of a session: the batch operator runs verbatim on
+    # the watermarked stream (session_window merges state under the hood)
+    sessions = session_window_stats(
+        tagged.withWatermark("timestamp", watermark),
+        key=key_col, ts="timestamp", gap=gap,
     )
     writer = (
         sessions.writeStream.format("parquet")

@@ -275,3 +275,40 @@ class TestUpsert:
                           spark.createDataFrame([(1, "a")], "k long, v string"),
                           key_cols=["k"])
         assert st["created"] and io.read(spark, "t").count() == 1
+
+
+class TestUpsertReviewRegressions:
+    def test_recovers_from_crash_between_swap_renames(self, spark, tmp_path):
+        """A kill inside the unpartitioned swap window parks the table
+        at __precompact; a re-run must restore it FIRST — otherwise it
+        would 'create' a table holding only the updates and drop every
+        pre-existing row."""
+        from redeye_spark.plans.maintenance import upsert_table
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        io.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), "t")
+        import os
+        os.rename(io.location("t"), io.location("t__precompact"))
+        st = upsert_table(spark, io, "t",
+                          spark.createDataFrame([(2, "B")], "k long, v string"),
+                          key_cols=["k"])
+        assert not st["created"]
+        got = {r["k"]: r["v"] for r in io.read(spark, "t").collect()}
+        assert got == {1: "a", 2: "B"}
+
+    def test_null_keys_rejected(self, spark, tmp_path):
+        """NULL keys never equi-join: a NULL-keyed update would append a
+        duplicate, and a NULL partition value would make dynamic
+        overwrite drop that partition's unmatched rows."""
+        from redeye_spark.plans.maintenance import upsert_table
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        io.write(spark.createDataFrame([("d1", 1, "a")], "p string, k long, v string"),
+                 "t", partition_by=["p"])
+        with pytest.raises(ValueError, match="NULL"):
+            upsert_table(spark, io, "t",
+                         spark.createDataFrame([(None, 2, "x")],
+                                               "p string, k long, v string"),
+                         key_cols=["p", "k"], partition_by=["p"])
