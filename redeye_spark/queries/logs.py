@@ -178,6 +178,35 @@ GROUP BY method
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics: the 10 heaviest keys by row count (here:
+    remote_host over the parsed stream) with a deterministic tiebreak —
+    the probe a pipeline runs before choosing a salted/bucketed plan
+    (pairs with enrich.salted_join / aggregate.salted_counts). Plans as
+    partial-agg -> exchange -> final-agg -> TakeOrderedAndProject: the
+    heavy-key report itself never full-sorts."""
+    parsed = _parsed(spark, sf_dir)
+    return (
+        parsed.filter(
+            F.col("error_kind").isNull() & F.col("remote_host").isNotNull()
+        )
+        .groupBy("remote_host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("remote_host").asc())
+        .limit(10)
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH {_oracle_base()}
+SELECT remote_host, COUNT(*) AS n
+FROM expected WHERE error_kind IS NULL AND remote_host IS NOT NULL
+GROUP BY remote_host
+ORDER BY n DESC, remote_host ASC
+LIMIT 10
+"""
+
+
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP multi-grouping (Expand-based plan: one pass emits all
     grouping sets). Error rows are excluded first so NULL grouping keys
@@ -716,6 +745,7 @@ QUERIES = {
     "enrich_ua_family": q_enrich_ua_family,
     "session_stats": q_session_stats,
     "session_window_stats": q_session_window_stats,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES = {
@@ -738,4 +768,5 @@ ORACLES = {
     "enrich_ua_family": SQL_ENRICH_UA_FAMILY,
     "session_stats": SQL_SESSION_STATS,
     "session_window_stats": SQL_SESSION_WINDOW_STATS,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 }

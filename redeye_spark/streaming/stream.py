@@ -277,3 +277,50 @@ def start_dedup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_upsert_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    io: TableIO,
+    table: str,
+    key_cols: list[str],
+    checkpoint: str,
+    order_col: str | None = None,
+    partition_by: list[str] | None = None,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+):
+    """CDC apply: a stream of change rows is MERGED into a table —
+    foreachBatch + plans/maintenance.upsert_table per micro-batch, the
+    streaming face of MERGE INTO (Kafka topic of upserts -> serving
+    table). Later micro-batches supersede earlier ones for the same
+    key (arrival order), `order_col` resolves versions WITHIN a batch.
+    Exactly-once composition: the streaming checkpoint replays an
+    uncommitted batch, and re-merging already-applied updates is a
+    no-op (latest-wins idempotence), so crash/retry converges to the
+    same table."""
+    from ..plans.maintenance import upsert_table
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_table(
+            spark, io, table, batch_df, key_cols,
+            partition_by=partition_by, order_col=order_col,
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -218,3 +218,40 @@ def test_session_window_stream_matches_batch(spark, source_dir, tmp_path_factory
     pd.testing.assert_frame_equal(
         got[exp.columns], exp, check_dtype=False
     )
+
+
+def test_upsert_stream_applies_cdc_in_order(spark, tmp_path_factory):
+    """Three single-file micro-batches of change rows must merge into a
+    latest-wins table: later batches supersede earlier ones per key,
+    order_col resolves versions within a batch, untouched keys
+    survive."""
+    import glob
+    import shutil
+    import time
+
+    base = str(tmp_path_factory.mktemp("cdc"))
+    src = base + "/src"
+    os.makedirs(src)
+    batches = [
+        [(1, "a0", 0), (2, "b0", 0)],
+        [(2, "b1", 1), (2, "b2", 2), (3, "c0", 0)],   # in-batch versions
+        [(1, "a9", 9)],
+    ]
+    for i, rows in enumerate(batches):
+        d = f"{base}/tmp{i}"
+        spark.createDataFrame(rows, "k long, v string, ver long") \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        (f,) = glob.glob(d + "/part-*.parquet")
+        os.rename(f, f"{src}/{i:02d}.parquet")
+        shutil.rmtree(d, ignore_errors=True)
+        time.sleep(0.05)  # ascending mtimes -> batch order
+
+    from redeye_spark.sources.io import ParquetIO
+    io = ParquetIO(base + "/tbl")
+    q = stream_mod.start_upsert_stream(
+        spark, src, "k long, v string, ver long", io, "t",
+        key_cols=["k"], checkpoint=base + "/ckpt", order_col="ver",
+    )
+    assert q.awaitTermination(300)
+    got = {r["k"]: (r["v"], r["ver"]) for r in io.read(spark, "t").collect()}
+    assert got == {1: ("a9", 9), 2: ("b2", 2), 3: ("c0", 0)}
