@@ -150,3 +150,37 @@ class TestTextInput:
         ids = [r["doc_id"] for r in got]
         assert len(ids) == 2 and len(set(ids)) == 2, ids
         assert all(r["source"] == "access.log" for r in got)
+
+
+class TestMaintainCli:
+    def test_compact_subcommand(self, spark, tmp_path, capsys):
+        from redeye_spark import maintain
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        spark.range(3000).selectExpr("id", "md5(CAST(id AS STRING)) AS v") \
+            .repartition(16).write.mode("overwrite").parquet(io.location("t"))
+        rc = maintain.main(["compact", "--base", str(tmp_path), "--table", "t",
+                            "--target-file-mb", "1024"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rewritten"] and stats["files_after"] == 1
+        assert io.read(spark, "t").count() == 3000
+
+    def test_upsert_subcommand(self, spark, tmp_path, capsys):
+        from redeye_spark import maintain
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+            .write.parquet(io.location("t"))
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string") \
+            .write.parquet(str(tmp_path / "updates"))
+        rc = maintain.main(["upsert", "--base", str(tmp_path), "--table", "t",
+                            "--updates", str(tmp_path / "updates"),
+                            "--keys", "k"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["rows_upserted"] == 2
+        got = {r["k"]: r["v"] for r in io.read(spark, "t").collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
