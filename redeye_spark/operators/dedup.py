@@ -741,14 +741,16 @@ def contaminated_ids(
     free (a 64-bit gram hash could mark an innocent train doc
     contaminated). Both paths are equivalence-tested. Note the size
     probe is an EAGER job over the eval side at call time (adaptive
-    plan choice can't be lazy); the eval gram set is persisted so the
-    probe and the join share one computation of the explode+distinct."""
+    plan choice can't be lazy), and the join recomputes the eval gram
+    explode+distinct — deliberately NOT persisted: a persist here would
+    leak executor storage for the session lifetime (nothing can
+    unpersist after the caller's lazy join runs), and the eval side is
+    the small side by contract."""
     train_grams = _word_ngrams(train, id_col, text_col, n)
     eval_grams = _word_ngrams(eval_df, id_col, text_col, n).select("gram").distinct()
     if max_broadcast_grams is not None:
         # bounded probe: eval_grams is the small side by assumption; the
         # limit caps the scan even when that assumption is wrong
-        eval_grams = eval_grams.persist()
         over = (
             eval_grams.limit(max_broadcast_grams + 1).count()
             > max_broadcast_grams

@@ -103,6 +103,7 @@ def salted_join(
     on: list[str] | str,
     how: str = "inner",
     salt: int = 8,
+    spread_duplicates: bool = False,
 ) -> DataFrame:
     """Explicit key-salting for a skewed equi-join whose build side is
     too big to broadcast: the RIGHT side is replicated `salt` times
@@ -117,17 +118,24 @@ def salted_join(
     replanning mid-query is unwanted. Cost: right side is scanned and
     shuffled `salt` x (use a salt sized to the skew, not the cluster).
 
-    ANY left-salt assignment is correct — each left row meets exactly
-    one replica of every matching right row, so multiplicities are
-    preserved — so the salt is chosen for SPREAD, not identity:
-    pmod(monotonically_increasing_id(), salt) gives consecutive rows
-    consecutive salts, which spreads even a hot key of byte-identical
-    duplicate rows (a whole-row hash would hand all duplicates the same
-    salt and re-serialize the hot key while still paying the salt-x
-    right-side replication). The id is a pure function of (partition,
-    row position), so a retried task re-derives the same salts.
-    Supported `how`: inner, left/left_outer, left_semi, left_anti (the
-    skewed side is the probe side by construction)."""
+    ANY left-salt assignment preserves multiplicities — each left row
+    meets exactly one replica of every matching right row — but the
+    assignment must also be RETRY-STABLE: a lost executor re-runs one
+    map task, and if the re-run derives different salts the re-shuffled
+    rows land on different reducers than the originals (the
+    lost/duplicated-rows class of bug that rand()-keyed repartitioning
+    is notorious for). The default salt is therefore a pure function of
+    row CONTENT (xxhash64 of all columns): recomputation yields
+    identical routing no matter how the input partition was re-fetched.
+    The cost is that byte-identical duplicate rows share one salt — a
+    hot key made of EXACT duplicates stays serialized. If that is your
+    actual skew shape and the job tolerates position-dependent salts
+    (no mid-job retries, or deterministic file-scan input),
+    ``spread_duplicates=True`` switches to
+    pmod(monotonically_increasing_id(), salt), which spreads duplicates
+    perfectly but is a function of (partition, row position), NOT
+    content. Supported `how`: inner, left/left_outer, left_semi,
+    left_anti (the skewed side is the probe side by construction)."""
     allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
     if how not in allowed:
         raise ValueError(f"how must be one of {sorted(allowed)}, got {how!r}")
@@ -141,8 +149,10 @@ def salted_join(
             "alias them before salting"
         )
     sc = "_salt"
-    l = left.withColumn(
-        sc, F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
-    )
+    if spread_duplicates:
+        salt_col = F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    else:
+        salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn(sc, salt_col.cast("int"))
     r = right.withColumn(sc, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return l.join(r, keys + [sc], how).drop(sc)

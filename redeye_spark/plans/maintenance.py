@@ -57,6 +57,31 @@ def table_file_stats(io: ParquetIO, table: str) -> tuple[int, int]:
     return n, total
 
 
+def _recover_parked_table(io: ParquetIO, table: str) -> None:
+    """Finish the rollback of a run that died inside the swap window
+    (table dir missing, contents parked at __precompact)."""
+    backup = io.location(f"{table}__precompact")
+    if not os.path.isdir(io.location(table)) and os.path.isdir(backup):
+        os.rename(backup, io.location(table))
+
+
+def _swap_in(io: ParquetIO, table: str, tmp: str) -> None:
+    """Replace the table dir with the fully-written tmp table via a
+    backup rename pair. A crash before the first rename leaves the
+    original intact; between the renames, _recover_parked_table (run at
+    entry by every maintenance op) restores it. ONE shared
+    implementation — compaction and upsert must never drift on this."""
+    backup = io.location(f"{table}__precompact")
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(io.location(table), backup)
+    try:
+        os.rename(io.location(tmp), io.location(table))
+    except OSError:
+        os.rename(backup, io.location(table))  # roll back; tmp left for inspection
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def compact_table(
     spark: SparkSession,
     io: ParquetIO,
@@ -91,10 +116,7 @@ def compact_table(
             "for Iceberg tables run the catalog's rewrite_data_files "
             "procedure instead"
         )
-    backup = io.location(f"{table}__precompact")
-    if not os.path.isdir(io.location(table)) and os.path.isdir(backup):
-        # a previous run died inside the swap window — finish the rollback
-        os.rename(backup, io.location(table))
+    _recover_parked_table(io, table)
     files_before, bytes_before = table_file_stats(io, table)
     if files_before < min_files_to_compact:
         return {
@@ -132,18 +154,7 @@ def compact_table(
     io.delete(spark, tmp)
     io.write(out, tmp, mode="overwrite", partition_by=partition_by)
 
-    # swap: the table dir is replaced only after the rewrite fully
-    # committed; a crash before the first rename leaves the original
-    # intact, and a crash between the renames is recovered at entry
-    old, new = io.location(table), io.location(tmp)
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(old, backup)
-    try:
-        os.rename(new, old)
-    except OSError:
-        os.rename(backup, old)  # roll back; tmp left for inspection
-        raise
-    shutil.rmtree(backup, ignore_errors=True)
+    _swap_in(io, table, tmp)
 
     files_after, bytes_after = table_file_stats(io, table)
     return {
@@ -201,12 +212,10 @@ def upsert_table(
             "a stale duplicate behind"
         )
     # same crash-window recovery as compact_table: a kill between the
-    # two swap renames below parks the table at __precompact — without
-    # this, a re-run would see "no table" and create one holding ONLY
-    # the updates, silently dropping every pre-existing row
-    backup = io.location(f"{table}__precompact")
-    if not os.path.isdir(io.location(table)) and os.path.isdir(backup):
-        os.rename(backup, io.location(table))
+    # two swap renames parks the table at __precompact — without this,
+    # a re-run would see "no table" and create one holding ONLY the
+    # updates, silently dropping every pre-existing row
+    _recover_parked_table(io, table)
     # NULL keys never equi-join: a NULL-keyed update would APPEND next
     # to the row it meant to replace, and a NULL partition value would
     # make dynamic overwrite REPLACE that partition while the semi-join
@@ -220,7 +229,15 @@ def upsert_table(
             "cannot be matched for replacement"
         )
     if order_col is not None:
-        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        # tiebreak by the REMAINING row content (desc) so two update
+        # rows sharing (key, order_col) resolve identically on every
+        # run/retry — order_col alone is not a total order and
+        # row_number over a partial order is a per-run lottery
+        others = [c for c in updates.columns
+                  if c not in key_cols and c != order_col]
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), *[F.col(c).desc_nulls_last() for c in others]
+        )
         updates = (
             updates.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -233,6 +250,28 @@ def upsert_table(
                 "updates carry multiple rows per key and no order_col — "
                 "latest-wins needs an ordering"
             )
+    # the probes below (count, touched partitions) and the merge each
+    # re-execute the updates lineage otherwise — on the CDC stream path
+    # that is ~5 scans per micro-batch
+    updates = updates.persist()
+    try:
+        return _apply_upsert(
+            spark, io, table, updates, key_cols, partition_by,
+            max_touched_partitions,
+        )
+    finally:
+        updates.unpersist()
+
+
+def _apply_upsert(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    updates,
+    key_cols: list[str],
+    partition_by: list[str] | None,
+    max_touched_partitions: int,
+) -> dict:
     n_updates = updates.count()
     if not os.path.isdir(io.location(table)):
         io.write(updates, table, mode="overwrite", partition_by=partition_by)
@@ -265,12 +304,5 @@ def upsert_table(
     tmp = f"{table}__upserting"
     io.delete(spark, tmp)
     io.write(merged, tmp, mode="overwrite")
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(io.location(table), backup)
-    try:
-        os.rename(io.location(tmp), io.location(table))
-    except OSError:
-        os.rename(backup, io.location(table))
-        raise
-    shutil.rmtree(backup, ignore_errors=True)
+    _swap_in(io, table, tmp)
     return {"table": table, "rows_upserted": n_updates, "created": False}

@@ -22,12 +22,18 @@ from ..schema import RAW_SEQUENCES
 from ..sources.io import TableIO
 
 
-def read_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 4) -> DataFrame:
-    return (
-        spark.readStream.schema(RAW_SEQUENCES)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+def read_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 4
+) -> DataFrame:
+    """File-source stream over the tokenized table. ``None`` = no
+    per-trigger cap: under availableNow everything pending lands in ONE
+    micro-batch — deterministic regardless of file order (no
+    intra-stream late-drops; only the terminal watermark evicts), the
+    mode the oracle-checked driver queries use."""
+    reader = spark.readStream.schema(RAW_SEQUENCES)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def start_pipeline_stream(
@@ -91,13 +97,7 @@ def start_windowed_counts(
     partial aggregate, and state grows by the same window/slide
     factor)."""
     cfg = cfg or PipelineConfig()
-    if max_files_per_trigger is None:
-        # single-batch mode: deterministic regardless of file order (no
-        # intra-stream late-drops; the terminal watermark alone decides
-        # which windows emit) — used by the oracle-checked driver query
-        raw = spark.readStream.schema(RAW_SEQUENCES).parquet(source_path)
-    else:
-        raw = read_stream(spark, source_path, max_files_per_trigger)
+    raw = read_stream(spark, source_path, max_files_per_trigger)
     tagged = build_tagged(spark, raw, cfg)
     counts = (
         tagged.filter(F.col("timestamp").isNotNull())
@@ -152,10 +152,7 @@ def start_error_correlation_stream(
     additionally drop genuinely late rows at the watermark — correct,
     but input-file-order-dependent)."""
     cfg = cfg or PipelineConfig()
-    if max_files_per_trigger is None:
-        raw = spark.readStream.schema(RAW_SEQUENCES).parquet(source_path)
-    else:
-        raw = read_stream(spark, source_path, max_files_per_trigger)
+    raw = read_stream(spark, source_path, max_files_per_trigger)
     tagged = build_tagged(spark, raw, cfg).filter(F.col("timestamp").isNotNull())
 
     ok = (
@@ -218,10 +215,7 @@ def start_session_stream(
     the watermark. Default single-batch trigger keeps the emitted set
     deterministic (= sessions the terminal watermark closed)."""
     cfg = cfg or PipelineConfig()
-    if max_files_per_trigger is None:
-        raw = spark.readStream.schema(RAW_SEQUENCES).parquet(source_path)
-    else:
-        raw = read_stream(spark, source_path, max_files_per_trigger)
+    raw = read_stream(spark, source_path, max_files_per_trigger)
     from ..operators.sessionize import session_window_stats
 
     tagged = build_tagged(spark, raw, cfg).filter(
@@ -300,13 +294,33 @@ def start_upsert_stream(
     Exactly-once composition: the streaming checkpoint replays an
     uncommitted batch, and re-merging already-applied updates is a
     no-op (latest-wins idempotence), so crash/retry converges to the
-    same table."""
+    same table.
+
+    Batch-order discipline: the "later batches supersede earlier"
+    arrival rule only holds when each batch is ONE file
+    (max_files_per_trigger=1). A wider cap folds several files into a
+    batch where only `order_col` can rank them — required in that case
+    (and None/unbounded is refused: collapsing ALL pending files into
+    one batch silently replaces arrival order with order_col order, or
+    dies on the duplicate-key assertion without one)."""
     from ..plans.maintenance import upsert_table
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(source_path)
+    if max_files_per_trigger is None or max_files_per_trigger < 1:
+        raise ValueError(
+            "start_upsert_stream needs a positive max_files_per_trigger: "
+            "arrival order IS the CDC ordering, and an unbounded batch "
+            "would collapse it"
+        )
+    if max_files_per_trigger > 1 and order_col is None:
+        raise ValueError(
+            "max_files_per_trigger > 1 folds several change files into one "
+            "micro-batch — pass order_col to rank versions within a batch"
+        )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -363,12 +363,14 @@ class TestSaltedJoin:
 
         for l in (left, left.select("k")):  # incl. byte-identical dup rows
             for how in ("inner", "left", "left_semi", "left_anti"):
-                a = l.join(right, "k", how).toPandas()
-                b = salted_join(l, right, "k", how=how, salt=6).toPandas()
-                cols = list(a.columns)
-                a = a.sort_values(cols).reset_index(drop=True)
-                b = b[cols].sort_values(cols).reset_index(drop=True)
-                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+                for spread in (False, True):
+                    a = l.join(right, "k", how).toPandas()
+                    b = salted_join(l, right, "k", how=how, salt=6,
+                                    spread_duplicates=spread).toPandas()
+                    cols = list(a.columns)
+                    a = a.sort_values(cols).reset_index(drop=True)
+                    b = b[cols].sort_values(cols).reset_index(drop=True)
+                    pd.testing.assert_frame_equal(a, b, check_dtype=False)
         # the shuffle-spread claim needs a shuffle join: disable the
         # auto-broadcast (a broadcast join has no exchange to salt)
         thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
