@@ -744,6 +744,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contaminated_ids(train, eval_df, n=5)
 
 
+def q_decontaminate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME decontamination but FORCED through the large-eval-set
+    degradation path (max_broadcast_grams=1): the gram semi-join runs
+    as a shuffle sort-merge join instead of a broadcast. Sharing
+    q_decontaminate's oracle hash-pins the fallback plan to identical
+    semantics — the plan shape itself is gated in test_plans."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.trim("text")
+    )
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    return dedup.contaminated_ids(train, eval_df, n=5, max_broadcast_grams=1)
+
+
 SQL_DECONTAMINATE = r"""
 WITH w AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws FROM documents
@@ -900,6 +916,7 @@ QUERIES = {
     "corpus_mix": q_corpus_mix,
     "tfidf_terms": q_tfidf_terms,
     "decontaminate": q_decontaminate,
+    "decontaminate_shuffle": q_decontaminate_shuffle,
     "curation_pipeline": q_curation_pipeline,
     "length_histogram": q_length_histogram,
     "pack_sequences": q_pack_sequences,
@@ -930,6 +947,7 @@ ORACLES = {
     "corpus_mix": SQL_CORPUS_MIX,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "decontaminate": SQL_DECONTAMINATE,
+    "decontaminate_shuffle": SQL_DECONTAMINATE,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
     "pack_sequences": SQL_PACK_SEQUENCES,
