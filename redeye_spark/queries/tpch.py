@@ -536,6 +536,50 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
+def q_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the INVERSE of q_status_pivot: the wide
+    per-method status-class counts fold back into long
+    (method, status_class, n) rows via the stack() table generator, a
+    pure projection-time expansion (no shuffle beyond the pivot's own
+    aggregate). Zero-filled wide cells survive as explicit n=0 rows —
+    the round-trip keeps the full method x class matrix."""
+    parsed = _parsed(spark, sf_dir)
+    enriched = enrich_op.enrich(parsed, enrich_op.dim_status_class(spark))
+    classes = ["2xx", "3xx", "4xx", "5xx"]
+    wide = (
+        enriched.filter(F.col("error_kind").isNull() & F.col("status_code").isNotNull())
+        .groupBy("method")
+        .pivot("status_class", classes)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "method",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in classes],
+        )
+    )
+    stack_args = ", ".join(f"'{c}', n_{c}" for c in classes)
+    return wide.selectExpr(
+        "method",
+        f"stack({len(classes)}, {stack_args}) AS (status_class, n)",
+    )
+
+
+SQL_STATUS_UNPIVOT = f"""
+WITH {_oracle_base()}
+, ok AS (
+  SELECT method, CAST(floor(status_code / 100) AS INT) AS sc
+  FROM expected WHERE error_kind IS NULL AND status_code IS NOT NULL
+),
+m AS (SELECT DISTINCT method FROM ok),
+c AS (SELECT unnest(['2xx', '3xx', '4xx', '5xx']) AS status_class)
+SELECT m.method, c.status_class,
+       CAST(COUNT(ok.method) AS BIGINT) AS n
+FROM m CROSS JOIN c
+LEFT JOIN ok ON ok.method = m.method
+            AND (CAST(ok.sc AS VARCHAR) || 'xx') = c.status_class
+GROUP BY m.method, c.status_class
+"""
+
+
 SQL_ASOF_LAST_ORDER = """
 WITH m AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,
@@ -958,6 +1002,7 @@ QUERIES = {
     "top_balance_inactive": q_top_balance_inactive,
     "user_gap_stats": q_user_gap_stats,
     "volume_shipping": q_volume_shipping,
+    "status_unpivot": q_status_unpivot,
     "value_band_counts": q_value_band_counts,
     "regional_revenue": q_regional_revenue,
     "hopping_counts": q_hopping_counts,
@@ -986,6 +1031,7 @@ ORACLES = {
     "top_balance_inactive": SQL_TOP_BALANCE_INACTIVE,
     "user_gap_stats": SQL_USER_GAP_STATS,
     "volume_shipping": SQL_VOLUME_SHIPPING,
+    "status_unpivot": SQL_STATUS_UNPIVOT,
     "value_band_counts": SQL_VALUE_BAND_COUNTS,
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "hopping_counts": SQL_HOPPING_COUNTS,

@@ -643,6 +643,54 @@ FROM b
 """
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math FULLY JVM-side via higher-order functions — zero
+    Python, zero explode-shuffle: per-embedding L2 norm through
+    F.aggregate's sequential fold and a self-reversed dot product
+    through F.zip_with + F.reverse. Every lambda casts to DOUBLE before
+    multiplying so both engines run the identical IEEE sequence; the
+    DuckDB oracle replays the same left fold with list_reduce over a
+    0-prepended term list (its bare reduce seeds with element 1, which
+    would skip squaring it)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.reverse("embedding"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(dot_rev, 6).alias("dot_reversed"),
+    )
+
+
+SQL_EMBEDDING_STATS = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sq,
+         list_transform(embedding,
+                        (x, i) -> CAST(x AS DOUBLE)
+                                  * CAST(embedding[len(embedding) - i + 1] AS DOUBLE)) AS pr
+  FROM embeddings
+)
+SELECT vec_id,
+       round(sqrt(list_reduce(list_prepend(0.0, sq), (a, b) -> a + b)), 6) AS l2_norm,
+       round(list_reduce(list_prepend(0.0, pr), (a, b) -> a + b), 6) AS dot_reversed
+FROM t
+"""
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix assembly (sampling.mix_corpora): the
     documents table split into two pseudo-corpora by doc_id parity,
@@ -914,6 +962,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
     "corpus_mix": q_corpus_mix,
+    "embedding_stats": q_embedding_stats,
     "tfidf_terms": q_tfidf_terms,
     "decontaminate": q_decontaminate,
     "decontaminate_shuffle": q_decontaminate_shuffle,
@@ -945,6 +994,7 @@ ORACLES = {
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_mix": SQL_CORPUS_MIX,
+    "embedding_stats": SQL_EMBEDDING_STATS,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "decontaminate": SQL_DECONTAMINATE,
     "decontaminate_shuffle": SQL_DECONTAMINATE,
