@@ -90,18 +90,32 @@ def run_pipeline(
     # any scale beats caching the full wide stream on-heap — and the
     # route totals then fall out of the aggregate table for free.
     tagged = build_tagged(spark, raw, cfg, source_dim)
+    # Per-sink counters ride the sink-write job itself via df.observe —
+    # metrics are collected DURING the one pass that parses and writes,
+    # so the totals cost zero extra jobs (previously a third job re-read
+    # the agg table to sum them). Observation aggregates can't groupBy,
+    # but the route list is a static config, so one conditional sum per
+    # route is exact and bounded.
+    from pyspark.sql import Observation
+
+    route_names = [r.name for r in (cfg.routes or route_op.DEFAULT_ROUTES)]
+    obs = Observation("route_metrics")
+    tagged = tagged.observe(
+        obs,
+        *[
+            F.sum((F.col("sink") == n).cast("long")).alias(n)
+            for n in route_names
+        ],
+    )
     io.write(tagged, events_table, mode=write_mode, partition_by=["sink"])
+    metrics = obs.get  # available: the write above was the action
 
     events_back = io.read(spark, events_table)
     counts = agg_op.salted_counts(events_back, cfg.bucket_granularity, cfg.salt_buckets) \
         if cfg.use_salted_agg else agg_op.sink_counts(events_back, cfg.bucket_granularity)
     io.write(counts, agg_table, mode=write_mode)
 
-    per_sink = {
-        r["sink"]: r["n"]
-        for r in io.read(spark, agg_table).groupBy("sink").agg(F.sum("n").alias("n")).collect()
-    }
-
+    per_sink = {n: int(metrics[n] or 0) for n in route_names}
     rows_err = per_sink.get(route_op.DEAD_LETTER, 0)
     rows_in = sum(per_sink.values())
     return PipelineResult(
