@@ -85,6 +85,8 @@ QUERY_BASELINES_S = {
     "shipping_revenue": 0.77,
     "asof_last_order": 1.24,
     "regional_revenue": 1.27,
+    # round-4 queries: best of the two round-4 samples becomes the pin
+    "asof_bucketed": 2.33,
 }
 
 

@@ -800,3 +800,33 @@ class TestMixCorpora:
             sampling.mix_corpora([])
         with pytest.raises(ValueError, match="weight"):
             sampling.mix_corpora([(df, "x", 1.5)])
+
+
+class TestY4MProperty:
+    def test_random_containers_roundtrip(self, spark):
+        """Property sweep: random geometry/chroma/frame-count containers
+        must decode to exactly the predicted geometry and an exactly
+        recomputable histogram."""
+        rng = np.random.default_rng(17)
+        rows = []
+        expected = {}
+        for i in range(24):
+            chroma = ["C444", "C420", "Cmono"][i % 3]
+            w = int(rng.integers(1, 7)) * (2 if chroma == "C420" else 1)
+            h = int(rng.integers(1, 5)) * (2 if chroma == "C420" else 1)
+            nf = int(rng.integers(1, 5))
+            mult = {"C444": 3.0, "C420": 1.5, "Cmono": 1.0}[chroma]
+            fb = int(w * h * mult)
+            body = bytes(rng.integers(0, 256, fb, dtype=np.uint8))
+            payload = (b"YUV4MPEG2 W%d H%d F24:1 %s\n" % (w, h, chroma.encode())
+                       + (b"FRAME\n" + body) * nf)
+            rows.append((f"d{i}", payload))
+            hist = np.bincount(np.frombuffer(body, np.uint8) >> 5, minlength=8)
+            expected[f"d{i}"] = (w, h, nf, (hist / hist.sum()).astype(np.float32))
+        df = spark.createDataFrame(rows, "doc_id string, payload binary")
+        got = {r["doc_id"]: r for r in multimodal.decode_video(df).collect()}
+        assert len(got) == 24
+        for k, (w, h, nf, feats) in expected.items():
+            r = got[k]
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf), k
+            assert np.allclose(r["features"], feats), k
