@@ -27,7 +27,7 @@ from ..operators import aggregate as agg_op
 from ..operators import enrich as enrich_op
 from ..operators import parse_op
 from ..operators import route as route_op
-from ..sources.io import TableIO
+from ..sources.io import ParquetIO, TableIO
 
 
 @dataclass
@@ -79,43 +79,65 @@ def run_pipeline(
     agg_table: str = "agg_counts",
     write_mode: str = "overwrite",
 ) -> PipelineResult:
-    """Execute the full plan: one pass writes all sinks, second (cheap)
-    pass over the cached tagged stream computes aggregates + counters."""
+    """Execute the full plan: ONE pass parses and writes all sinks (the
+    per-sink counters ride that same job as Observation metrics), then
+    a cheap column-pruned pass over the committed events table computes
+    the aggregate table."""
     cfg = cfg or PipelineConfig()
     t0 = time.monotonic()
 
     # No persist: the committed events table IS the reuse point. The parse
     # UDF runs exactly once (the sink write); the aggregate pass re-reads
     # the columnar sink with column pruning (5 narrow columns), which at
-    # any scale beats caching the full wide stream on-heap — and the
-    # route totals then fall out of the aggregate table for free.
+    # any scale beats caching the full wide stream on-heap.
     tagged = build_tagged(spark, raw, cfg, source_dim)
     # Per-sink counters ride the sink-write job itself via df.observe —
-    # metrics are collected DURING the one pass that parses and writes,
-    # so the totals cost zero extra jobs (previously a third job re-read
-    # the agg table to sum them). Observation aggregates can't groupBy,
-    # but the route list is a static config, so one conditional sum per
-    # route is exact and bounded.
+    # zero extra jobs (previously a third job re-read the agg table to
+    # sum them). Observation aggregates can't groupBy, but the route
+    # list is a static config, so one conditional sum per route (+ one
+    # for NULL sinks: a non-total custom route list leaves unmatched
+    # rows sink=NULL, and they ARE written) is exact and bounded.
+    # Guarded to the Parquet/ORC v1 write path: obs.get has no timeout,
+    # and CollectMetrics delivery through a DataFrameWriterV2 command
+    # (IcebergIO) is unverified in this sandbox — there the counters
+    # fall back to a groupBy over the committed table.
     from pyspark.sql import Observation
 
     route_names = [r.name for r in (cfg.routes or route_op.DEFAULT_ROUTES)]
-    obs = Observation("route_metrics")
-    tagged = tagged.observe(
-        obs,
-        *[
-            F.sum((F.col("sink") == n).cast("long")).alias(n)
-            for n in route_names
-        ],
-    )
+    use_observe = isinstance(io, ParquetIO)
+    if use_observe:
+        obs = Observation("route_metrics")
+        tagged = tagged.observe(
+            obs,
+            *[
+                F.sum((F.col("sink") == n).cast("long")).alias(n)
+                for n in route_names
+            ],
+            F.sum(F.col("sink").isNull().cast("long")).alias("_null_sink"),
+        )
     io.write(tagged, events_table, mode=write_mode, partition_by=["sink"])
-    metrics = obs.get  # available: the write above was the action
 
     events_back = io.read(spark, events_table)
     counts = agg_op.salted_counts(events_back, cfg.bucket_granularity, cfg.salt_buckets) \
         if cfg.use_salted_agg else agg_op.sink_counts(events_back, cfg.bucket_granularity)
     io.write(counts, agg_table, mode=write_mode)
 
-    per_sink = {n: int(metrics[n] or 0) for n in route_names}
+    if use_observe:
+        metrics = obs.get  # available: the sink write was the action
+        # contract preserved from the agg-derived counters: only sinks
+        # actually PRESENT appear (zero-count routes omitted, NULL-sink
+        # rows reported under None like a groupBy would)
+        per_sink = {
+            n: int(metrics[n]) for n in route_names if int(metrics[n] or 0) > 0
+        }
+        if int(metrics["_null_sink"] or 0) > 0:
+            per_sink[None] = int(metrics["_null_sink"])
+    else:
+        per_sink = {
+            r["sink"]: r["n"]
+            for r in io.read(spark, agg_table)
+            .groupBy("sink").agg(F.sum("n").alias("n")).collect()
+        }
     rows_err = per_sink.get(route_op.DEAD_LETTER, 0)
     rows_in = sum(per_sink.values())
     return PipelineResult(

@@ -543,19 +543,10 @@ def q_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure projection-time expansion (no shuffle beyond the pivot's own
     aggregate). Zero-filled wide cells survive as explicit n=0 rows —
     the round-trip keeps the full method x class matrix."""
-    parsed = _parsed(spark, sf_dir)
-    enriched = enrich_op.enrich(parsed, enrich_op.dim_status_class(spark))
+    # literally the pivot query's output — the whole point is the
+    # round-trip, so the wide frame must come from ONE definition
+    wide = q_status_pivot(spark, sf_dir)
     classes = ["2xx", "3xx", "4xx", "5xx"]
-    wide = (
-        enriched.filter(F.col("error_kind").isNull() & F.col("status_code").isNotNull())
-        .groupBy("method")
-        .pivot("status_class", classes)
-        .agg(F.count(F.lit(1)))
-        .select(
-            "method",
-            *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in classes],
-        )
-    )
     stack_args = ", ".join(f"'{c}', n_{c}" for c in classes)
     return wide.selectExpr(
         "method",

@@ -450,3 +450,32 @@ class TestOrcIO:
         assert back2.filter(F.col("sink") == "1").count() == 5
         assert back2.filter(F.col("sink") == "0").count() == \
             df.filter(F.col("sink") == "0").count()
+
+
+class TestObserveCounterContract:
+    def test_zero_count_routes_omitted_and_null_sinks_counted(self, spark, tmp_path):
+        """sink_rows must list only sinks PRESENT in the written data
+        (a configured route matching zero rows is omitted), and rows a
+        non-total route list leaves sink=NULL must still count toward
+        rows_in under None — same contract the agg-table groupBy gave."""
+        from redeye_spark.operators.route import Route
+        from redeye_spark.plans.pipeline import PipelineConfig, run_pipeline
+        from redeye_spark.schema import RAW_SEQUENCES
+        from redeye_spark.sources.datagen import gen_frame
+        from redeye_spark.sources.io import ParquetIO
+
+        pdf = gen_frame(500, fmt="combined", seed=21, malformed_rate=0.0)
+        raw = spark.createDataFrame(pdf.drop(columns=["line"]), schema=RAW_SEQUENCES)
+        cfg = PipelineConfig(
+            fmt="combined",
+            routes=[
+                Route("dead_letter", "error_kind IS NOT NULL"),  # 0 rows here
+                Route("sink_2xx", "status_code BETWEEN 200 AND 299"),
+                # NOT total: 3xx/4xx/5xx/None-status rows get sink=NULL
+            ],
+        )
+        res = run_pipeline(spark, raw, ParquetIO(str(tmp_path)), cfg)
+        assert "dead_letter" not in res.sink_rows          # zero-count omitted
+        assert None in res.sink_rows                       # NULL sinks counted
+        assert res.rows_in == 500                          # nothing vanished
+        assert res.sink_rows["sink_2xx"] + res.sink_rows[None] == 500
