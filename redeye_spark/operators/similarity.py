@@ -185,6 +185,36 @@ def assign_lists(
     return corpus.mapInPandas(fn, schema=out_schema)
 
 
+def _ivf_query(
+    listed: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF query kernel over an already-listed corpus (rows carry
+    list_id): probe-mask in numpy, `list_id IN (...)` prune, one
+    local-topk pass, tiny global merge."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    # stable sort: ties probe the lowest list_id first (matches the SQL
+    # oracle's ORDER BY ... DESC, list_id tiebreak)
+    probe = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :nprobe]
+    allow = np.zeros((len(queries), len(centroids)), dtype=bool)
+    allow[np.arange(len(queries))[:, None], probe] = True
+
+    probed_lists = sorted({int(x) for x in probe.ravel()})
+    pruned = listed.filter(F.col("list_id").isin(probed_lists))
+    id_type = listed.schema[id_col].dataType
+    local = pruned.select(id_col, vec_col, "list_id").mapInPandas(
+        _local_topk_fn(qids, qmat, k, id_col, vec_col, include_self=False, allow=allow),
+        schema=_topk_schema(id_type),
+    )
+    return _global_topk(local, k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: list[tuple[int, list[float]]],
@@ -201,26 +231,74 @@ def ivf_topk(
 
     Plan shape: one `list_id IN (union of probed lists)` prune (a
     pushdown-able scan filter — partition pruning when the listed corpus
-    is stored partitioned by list_id), then ONE local-topk pass where the
-    per-query probe matrix masks foreign lists numpy-side. No Python UDF,
-    no candidate join, no post-filter. Recall is tested against
-    brute_force_topk."""
+    is stored partitioned by list_id, which build_ivf_index does), then
+    ONE local-topk pass where the per-query probe matrix masks foreign
+    lists numpy-side. No Python UDF, no candidate join, no post-filter.
+    Recall is tested against brute_force_topk."""
     if centroids is None:
         centroids = fit_centroids(corpus, nlist=nlist, vec_col=vec_col, seed=seed)
     listed = assign_lists(corpus, centroids, vec_col)
-    qids = np.array([q[0] for q in queries], dtype=np.int64)
-    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    # stable sort: ties probe the lowest list_id first (matches the SQL
-    # oracle's ORDER BY ... DESC, list_id tiebreak)
-    probe = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :nprobe]
-    allow = np.zeros((len(queries), len(centroids)), dtype=bool)
-    allow[np.arange(len(queries))[:, None], probe] = True
+    return _ivf_query(listed, centroids, queries, k, nprobe, id_col, vec_col)
 
-    probed_lists = sorted({int(x) for x in probe.ravel()})
-    pruned = listed.filter(F.col("list_id").isin(probed_lists))
-    id_type = corpus.schema[id_col].dataType
-    local = pruned.select(id_col, vec_col, "list_id").mapInPandas(
-        _local_topk_fn(qids, qmat, k, id_col, vec_col, include_self=False, allow=allow),
-        schema=_topk_schema(id_type),
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> dict:
+    """Materialize the IVF index: what makes ANN practical at scale is
+    fitting/assigning ONCE and amortizing over every later query batch.
+
+    Writes two tables under `path`:
+      corpus/    the input rows + list_id, PARTITIONED BY list_id — so
+                 an indexed query's `list_id IN (probed)` filter becomes
+                 physical partition pruning (only nprobe/nlist of the
+                 data is even opened; plan-gated in tests)
+      centroids/ (list_id, centroid array<double>) — tiny, exact float64
+                 round-trip, so a loaded index probes identically to the
+                 in-memory one.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else fit_centroids(corpus, nlist=nlist, vec_col=vec_col, seed=seed)
     )
-    return _global_topk(local, k)
+    listed = assign_lists(corpus, cents, vec_col)
+    listed.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return {"path": path, "nlist": int(len(cents)), "dim": int(cents.shape[1])}
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Centroid matrix back from a built index, row i = list i."""
+    rows = (
+        spark.read.parquet(f"{path}/centroids")
+        .orderBy("list_id")
+        .collect()
+    )
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query against a build_ivf_index output: identical semantics
+    to ivf_topk with the same centroids, but the probe filter prunes
+    PARTITIONS of the stored corpus instead of filtering a full scan —
+    the read itself shrinks to the probed lists."""
+    centroids = load_ivf_centroids(spark, path)
+    listed = spark.read.parquet(f"{path}/corpus")
+    return _ivf_query(listed, centroids, queries, k, nprobe, id_col, vec_col)

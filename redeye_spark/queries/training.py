@@ -177,6 +177,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME IVF query through a PERSISTED index (build_ivf_index
+    with the fixed centroids -> parquet partitioned by list_id ->
+    ivf_topk_indexed): sharing q_ivf_topk's oracle hash-pins the
+    build/load/partition-pruned-probe path to identical semantics —
+    centroids round-trip float64-exact, and the probe filter prunes
+    stored partitions instead of post-filtering a scan (plan-gated in
+    TestIvfIndex)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    path = tempfile.mkdtemp(prefix="redeye_ivf_idx_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    similarity.build_ivf_index(embs, path, centroids=_ivf_fixed_centroids())
+    top = similarity.ivf_topk_indexed(
+        spark, path, queries, k=5, nprobe=_IVF_NPROBE
+    )
+    return top.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _ivf_oracle_sql() -> str:
     cents = _ivf_fixed_centroids()
     rows = ", ".join(
@@ -951,6 +977,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "similarity_topk": q_similarity_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_indexed": q_ivf_topk_indexed,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -983,6 +1010,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
+    "ivf_topk_indexed": SQL_IVF_TOPK,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,

@@ -830,3 +830,43 @@ class TestY4MProperty:
             r = got[k]
             assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf), k
             assert np.allclose(r["features"], feats), k
+
+
+class TestIvfIndex:
+    def test_indexed_equals_inmemory_and_prunes_partitions(self, spark, tmp_path):
+        """build -> load -> query must return exactly what ivf_topk
+        returns with the same centroids (float64 round-trips losslessly
+        through parquet), and the indexed probe must prune PARTITIONS
+        of the stored corpus, not post-filter a full scan."""
+        from tests.test_plans import plan_of
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        queries = [(r["vec_id"], r["embedding"]) for r in emb.limit(3).collect()]
+        path = str(tmp_path / "ivf")
+
+        stats = similarity.build_ivf_index(emb, path, nlist=8)
+        assert stats["nlist"] == 8 and stats["dim"] == 64
+
+        cents = similarity.load_ivf_centroids(spark, path)
+        direct = similarity.ivf_topk(
+            emb, queries, k=5, nprobe=3, centroids=cents
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        indexed = similarity.ivf_topk_indexed(
+            spark, path, queries, k=5, nprobe=3
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(indexed, direct, check_dtype=False)
+        assert len(indexed) == 15
+
+        plan = plan_of(similarity.ivf_topk_indexed(spark, path, queries, k=5, nprobe=3))
+        import re
+        m = re.search(r"PartitionFilters: \[[^\]]*list_id", plan)
+        assert m, plan
+
+    def test_rebuild_is_deterministic(self, spark, tmp_path):
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        a = str(tmp_path / "a"); b = str(tmp_path / "b")
+        similarity.build_ivf_index(emb, a, nlist=8)
+        similarity.build_ivf_index(emb, b, nlist=8)
+        ca = similarity.load_ivf_centroids(spark, a)
+        cb = similarity.load_ivf_centroids(spark, b)
+        assert np.array_equal(ca, cb)
