@@ -170,6 +170,11 @@ def assign_lists(
     """Append list_id = nearest-centroid index (one vectorized map pass).
     At scale, write the result partitioned/bucketed by list_id so probes
     are partition-pruned scans."""
+    if "list_id" in corpus.columns:
+        # re-indexing a previously built corpus: the stale assignment
+        # must not survive into a duplicate column (the write would die
+        # on an ambiguous list_id; silently keeping it would be worse)
+        corpus = corpus.drop("list_id")
     out_schema = T.StructType(corpus.schema.fields + [T.StructField("list_id", T.IntegerType(), False)])
     cents = centroids
 
@@ -260,19 +265,45 @@ def build_ivf_index(
       centroids/ (list_id, centroid array<double>) — tiny, exact float64
                  round-trip, so a loaded index probes identically to the
                  in-memory one.
+
+    Rebuild atomicity: corpus and centroids MUST match (probing with
+    centroids that didn't produce the stored list_ids silently returns
+    wrong neighbors), so both tables are written to a staging dir and
+    swapped in with the same backup-rename discipline table maintenance
+    uses — a crash mid-rebuild leaves either the old complete index or
+    the old index parked at `<path>__prebuild` (recovered on the next
+    build), never a mixed one.
     """
+    import os
+    import shutil
+
     cents = (
         centroids
         if centroids is not None
         else fit_centroids(corpus, nlist=nlist, vec_col=vec_col, seed=seed)
     )
+    backup = f"{path}__prebuild"
+    if not os.path.isdir(path) and os.path.isdir(backup):
+        os.rename(backup, path)  # finish a crashed rebuild's rollback
+    staging = f"{path}__building"
+    shutil.rmtree(staging, ignore_errors=True)
     listed = assign_lists(corpus, cents, vec_col)
-    listed.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
+    listed.write.mode("overwrite").partitionBy("list_id").parquet(f"{staging}/corpus")
     spark = corpus.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(
         cent_rows, "list_id int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/centroids")
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        if os.path.isdir(backup):
+            os.rename(backup, path)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
     return {"path": path, "nlist": int(len(cents)), "dim": int(cents.shape[1])}
 
 

@@ -161,6 +161,21 @@ def _ivf_fixed_centroids(nlist: int = 8, dim: int = 64, seed: int = 7):
 _IVF_NPROBE = 3
 
 
+def _ivf_inputs(spark: SparkSession, sf_dir: str):
+    """Shared by the in-memory and persisted-index IVF queries — they
+    MUST select identical query vectors to share one oracle."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    return embs, queries
+
+
+def _ivf_project(top: DataFrame) -> DataFrame:
+    return top.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 for the first 3 vectors with fixed centroids: the
     oracle mirrors list assignment + nprobe probing + in-list ranking
@@ -168,13 +183,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     masked local top-k -> global merge), not just output shape."""
     from ..operators import similarity
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = [(int(r["vec_id"]), list(r["embedding"]))
-               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    embs, queries = _ivf_inputs(spark, sf_dir)
     top = similarity.ivf_topk(
         embs, queries, k=5, nprobe=_IVF_NPROBE, centroids=_ivf_fixed_centroids()
     )
-    return top.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    return _ivf_project(top)
+
+
+_IVF_INDEX_CACHE: dict[tuple, str] = {}
 
 
 def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,23 +200,28 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     build/load/partition-pruned-probe path to identical semantics —
     centroids round-trip float64-exact, and the probe filter prunes
     stored partitions instead of post-filtering a scan (plan-gated in
-    TestIvfIndex)."""
+    TestIvfIndex). NOTE: constructing this query BUILDS the index (a
+    write job) on first call per (session, sf_dir) — memoized so
+    repeated sweeps reuse one directory — and it is therefore listed in
+    the plan-gate's eager-query skip list."""
     import atexit
     import shutil
     import tempfile
 
     from ..operators import similarity
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = [(int(r["vec_id"]), list(r["embedding"]))
-               for r in embs.filter(F.col("vec_id") < 3).collect()]
-    path = tempfile.mkdtemp(prefix="redeye_ivf_idx_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    similarity.build_ivf_index(embs, path, centroids=_ivf_fixed_centroids())
+    embs, queries = _ivf_inputs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="redeye_ivf_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivf_index(embs, path, centroids=_ivf_fixed_centroids())
+        _IVF_INDEX_CACHE[key] = path
     top = similarity.ivf_topk_indexed(
         spark, path, queries, k=5, nprobe=_IVF_NPROBE
     )
-    return top.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    return _ivf_project(top)
 
 
 def _ivf_oracle_sql() -> str:

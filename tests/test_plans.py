@@ -430,7 +430,8 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
 # by their own tests; calling them here would re-run minutes of work.
 _EAGER_QUERIES = {
     "stream_counts", "stream_counts_multibatch", "json_roundtrip",
-    "dedup_cc", "dedup_cc_star",
+    "dedup_cc", "dedup_cc_star", "decontaminate_shuffle",
+    "ivf_topk_indexed",
 }
 
 
