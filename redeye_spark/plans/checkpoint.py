@@ -242,21 +242,28 @@ def run_checkpointed(
             else agg_op.sink_counts(chunk_events, cfg.bucket_granularity)
         ).withColumn("chunk_id", F.lit(chunk))
         io.write(counts, agg_table, mode="overwrite_partitions", partition_by=["chunk_id"])
-        per_sink = {
-            r["sink"]: r["n"]
-            for r in counts.groupBy("sink").agg(F.sum("n").alias("n")).collect()
-        }
-        per_partition = [
-            {"part_id": r["part_id"], "rows": r["rows"], "err": r["err"]}
-            for r in (
-                chunk_events.groupBy("part_id")
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.count(F.when(F.col("error_kind").isNotNull(), 1)).alias("err"),
-                )
-                .orderBy("part_id")
-                .collect()
+        # ONE metric scan per chunk: (part_id, sink) cells are bounded
+        # (parse partitions x routes) and roll up client-side into both
+        # the per-sink totals and the per-partition lineage metrics —
+        # previously two separate scans of the committed chunk
+        metric_rows = (
+            chunk_events.groupBy("part_id", "sink")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count(F.when(F.col("error_kind").isNotNull(), 1)).alias("err"),
             )
+            .collect()
+        )
+        per_sink: dict = {}
+        parts: dict = {}
+        for r in metric_rows:
+            per_sink[r["sink"]] = per_sink.get(r["sink"], 0) + r["rows"]
+            p = parts.setdefault(r["part_id"], {"rows": 0, "err": 0})
+            p["rows"] += r["rows"]
+            p["err"] += r["err"]
+        per_partition = [
+            {"part_id": pid, "rows": v["rows"], "err": v["err"]}
+            for pid, v in sorted(parts.items())
         ]
 
         rows_err = per_sink.get(route_op.DEAD_LETTER, 0)
