@@ -48,6 +48,23 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="version column; greatest wins within the updates")
     u.add_argument("--partition-by", default=None, help="comma-separated")
     u.add_argument("--master", default=None)
+
+    e = sub.add_parser("expire", help="drop whole partitions (retention/TTL)")
+    e.add_argument("--base", required=True)
+    e.add_argument("--table", required=True)
+    e.add_argument("--partition-col", required=True)
+    g = e.add_mutually_exclusive_group(required=True)
+    g.add_argument("--drop", default=None, help="comma-separated values to drop")
+    g.add_argument("--keep", default=None, help="comma-separated values to keep")
+    e.add_argument("--master", default=None)
+
+    d = sub.add_parser("delete", help="row-level delete by key (erasure)")
+    d.add_argument("--base", required=True)
+    d.add_argument("--table", required=True)
+    d.add_argument("--keys-table", required=True, help="parquet path of key rows")
+    d.add_argument("--keys", required=True, help="comma-separated key columns")
+    d.add_argument("--partition-by", default=None, help="comma-separated")
+    d.add_argument("--master", default=None)
     return p
 
 
@@ -63,7 +80,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("redeye-maintain", master=args.master)
     io = ParquetIO(args.base)
-    if args.cmd == "compact":
+    if args.cmd == "expire":
+        stats = maintenance.expire_partitions(
+            io, args.table, args.partition_col,
+            keep_values=_cols(args.keep), drop_values=_cols(args.drop),
+        )
+    elif args.cmd == "delete":
+        stats = maintenance.delete_keys(
+            spark, io, args.table,
+            spark.read.parquet(args.keys_table),
+            key_cols=_cols(args.keys),
+            partition_by=_cols(args.partition_by),
+        )
+    elif args.cmd == "compact":
         stats = maintenance.compact_table(
             spark, io, args.table,
             target_file_bytes=args.target_file_mb << 20,

@@ -306,3 +306,112 @@ def _apply_upsert(
     io.write(merged, tmp, mode="overwrite")
     _swap_in(io, table, tmp)
     return {"table": table, "rows_upserted": n_updates, "created": False}
+
+
+def expire_partitions(
+    io: ParquetIO,
+    table: str,
+    partition_col: str,
+    keep_values: list[str] | None = None,
+    drop_values: list[str] | None = None,
+) -> dict:
+    """Retention/TTL expiry for a partitioned table: physically delete
+    whole partition directories (the Iceberg expire/DROP PARTITION
+    analog) — a metadata-scale operation, no data is read or rewritten.
+    Exactly one of keep_values / drop_values must be given; values are
+    the partition VALUES as they appear in `<col>=<value>` dirs (hive
+    escaping is the caller's concern for exotic values). Removing a
+    directory is atomic per partition and idempotent — re-running after
+    a crash just deletes the remainder. Returns the dropped/kept lists
+    so a scheduled retention job can log its decisions."""
+    if (keep_values is None) == (drop_values is None):
+        raise ValueError("pass exactly one of keep_values / drop_values")
+    root = io.location(table)
+    prefix = f"{partition_col}="
+    present = sorted(
+        d[len(prefix):]
+        for d in os.listdir(root)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
+    )
+    if not present:
+        raise ValueError(
+            f"table {table!r} has no {partition_col}= partition dirs — "
+            "wrong column or unpartitioned table"
+        )
+    if keep_values is not None:
+        to_drop = [v for v in present if v not in set(keep_values)]
+    else:
+        to_drop = [v for v in present if v in set(drop_values)]
+    for v in to_drop:
+        shutil.rmtree(os.path.join(root, prefix + v), ignore_errors=True)
+    return {
+        "table": table,
+        "partition_col": partition_col,
+        "dropped": to_drop,
+        "kept": [v for v in present if v not in set(to_drop)],
+    }
+
+
+def delete_keys(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    keys,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Row-level delete by key (the GDPR/right-to-erasure shape; the
+    Iceberg `DELETE FROM t WHERE key IN (...)` analog): rows of `table`
+    matching any row of the `keys` frame on `key_cols` are removed via
+    an anti-join rewrite. Partitioned tables with partition_by ⊆
+    key_cols rewrite ONLY the partitions named in the keys (semi-join
+    pruned read + dynamic-partition-overwrite commit, idempotent like
+    upsert); otherwise the whole table rewrites through the crash-safe
+    swap. NULL key values are refused — they never equi-join, so the
+    'deletion' would silently keep the row."""
+    if not isinstance(io, ParquetIO):
+        raise TypeError("delete_keys only understands the Parquet directory layout")
+    _recover_parked_table(io, table)
+    null_key = keys.filter(
+        " OR ".join(f"{c} IS NULL" for c in key_cols)
+    ).limit(1)
+    if null_key.count() > 0:
+        raise ValueError(
+            f"keys contain NULL in {key_cols} — NULL keys never match, the "
+            "row would silently survive the delete"
+        )
+    keys = keys.select(*key_cols).distinct().persist()
+    try:
+        n_keys = keys.count()
+        existing = io.read(spark, table)
+        if partition_by and len(partition_by) == 1 \
+                and set(partition_by) <= set(key_cols):
+            (pcol,) = partition_by
+            touched_vals = [r[0] for r in keys.select(pcol).distinct().collect()]
+            base = existing.filter(F.col(pcol).isin(touched_vals))
+            remaining = base.join(keys, key_cols, "left_anti").localCheckpoint()
+            io.write(remaining, table, mode="overwrite_partitions",
+                     partition_by=partition_by)
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output: a partition whose rows were ALL deleted emits no
+            # rows, so its old directory would silently survive with the
+            # supposedly-deleted data — remove emptied partitions
+            # explicitly (idempotent, atomic per partition)
+            still_there = {
+                r[0] for r in remaining.select(pcol).distinct().collect()
+            }
+            for v in touched_vals:
+                if v not in still_there:
+                    shutil.rmtree(
+                        os.path.join(io.location(table), f"{pcol}={v}"),
+                        ignore_errors=True,
+                    )
+            return {"table": table, "keys_requested": n_keys, "scope": "partitions"}
+        remaining = existing.join(keys, key_cols, "left_anti")
+        tmp = f"{table}__deleting"
+        io.delete(spark, tmp)
+        io.write(remaining, tmp, mode="overwrite", partition_by=partition_by)
+        _swap_in(io, table, tmp)
+        return {"table": table, "keys_requested": n_keys, "scope": "table"}
+    finally:
+        keys.unpersist()

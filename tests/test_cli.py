@@ -184,3 +184,29 @@ class TestMaintainCli:
         assert stats["rows_upserted"] == 2
         got = {r["k"]: r["v"] for r in io.read(spark, "t").collect()}
         assert got == {1: "a", 2: "B", 3: "c"}
+
+
+class TestMaintainExpireDelete:
+    def test_expire_and_delete_subcommands(self, spark, tmp_path, capsys):
+        from redeye_spark import maintain
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        spark.createDataFrame(
+            [("d1", 1, "a"), ("d2", 2, "b"), ("d3", 3, "c")],
+            "day string, k long, v string"
+        ).write.partitionBy("day").parquet(io.location("t"))
+        rc = maintain.main(["expire", "--base", str(tmp_path), "--table", "t",
+                            "--partition-col", "day", "--drop", "d1"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["dropped"] == ["d1"]
+
+        spark.createDataFrame([("d2", 2)], "day string, k long") \
+            .write.parquet(str(tmp_path / "keys"))
+        rc = maintain.main(["delete", "--base", str(tmp_path), "--table", "t",
+                            "--keys-table", str(tmp_path / "keys"),
+                            "--keys", "day,k", "--partition-by", "day"])
+        assert rc == 0
+        got = {r["k"] for r in io.read(spark, "t").collect()}
+        assert got == {3}

@@ -312,3 +312,74 @@ class TestUpsertReviewRegressions:
                          spark.createDataFrame([(None, 2, "x")],
                                                "p string, k long, v string"),
                          key_cols=["p", "k"], partition_by=["p"])
+
+
+class TestRetentionAndDelete:
+    def _io(self, tmp_path):
+        from redeye_spark.sources.io import ParquetIO
+        return ParquetIO(str(tmp_path))
+
+    def test_expire_partitions_drop_and_keep(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import expire_partitions
+
+        io = self._io(tmp_path)
+        df = spark.createDataFrame(
+            [("d1", 1), ("d2", 2), ("d3", 3)], "day string, v long")
+        io.write(df, "t", partition_by=["day"])
+        st = expire_partitions(io, "t", "day", drop_values=["d1"])
+        assert st["dropped"] == ["d1"] and sorted(st["kept"]) == ["d2", "d3"]
+        assert io.read(spark, "t").count() == 2
+        st2 = expire_partitions(io, "t", "day", keep_values=["d3"])
+        assert st2["dropped"] == ["d2"]
+        assert {r["day"] for r in io.read(spark, "t").collect()} == {"d3"}
+        with pytest.raises(ValueError, match="exactly one"):
+            expire_partitions(io, "t", "day")
+        with pytest.raises(ValueError, match="partition dirs"):
+            expire_partitions(io, "t", "nope", drop_values=["x"])
+
+    def test_delete_keys_partition_scoped(self, spark, tmp_path):
+        import os
+        from redeye_spark.plans.maintenance import delete_keys
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame(
+            [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")],
+            "p string, k long, v string"), "t", partition_by=["p"])
+        d2_files = sorted(os.listdir(io.location("t") + "/p=d2"))
+        st = delete_keys(spark, io, "t",
+                         spark.createDataFrame([("d1", 2)], "p string, k long"),
+                         key_cols=["p", "k"], partition_by=["p"])
+        assert st["scope"] == "partitions" and st["keys_requested"] == 1
+        got = {(r["p"], r["k"]) for r in io.read(spark, "t").collect()}
+        assert got == {("d1", 1), ("d2", 3)}
+        assert sorted(os.listdir(io.location("t") + "/p=d2")) == d2_files
+
+    def test_delete_keys_removes_fully_emptied_partition(self, spark, tmp_path):
+        """Deleting EVERY row of a partition must remove its directory —
+        dynamic overwrite alone would leave the old files (and the
+        'deleted' rows) behind."""
+        import os
+        from redeye_spark.plans.maintenance import delete_keys
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame(
+            [("d1", 1, "a"), ("d2", 2, "b")], "p string, k long, v string"),
+            "t", partition_by=["p"])
+        delete_keys(spark, io, "t",
+                    spark.createDataFrame([("d1", 1)], "p string, k long"),
+                    key_cols=["p", "k"], partition_by=["p"])
+        assert not os.path.isdir(io.location("t") + "/p=d1")
+        assert {r["k"] for r in io.read(spark, "t").collect()} == {2}
+
+    def test_delete_keys_whole_table_and_null_rejection(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import delete_keys
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), "t")
+        st = delete_keys(spark, io, "t",
+                         spark.createDataFrame([(1,)], "k long"), key_cols=["k"])
+        assert st["scope"] == "table"
+        assert {r["k"] for r in io.read(spark, "t").collect()} == {2}
+        with pytest.raises(ValueError, match="NULL"):
+            delete_keys(spark, io, "t",
+                        spark.createDataFrame([(None,)], "k long"), key_cols=["k"])
