@@ -24,8 +24,12 @@ Design notes:
 
 from __future__ import annotations
 
+import contextlib
+import functools
+import operator
 import os
 import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -39,6 +43,82 @@ def _count_partition_dirs(root: str, first_partition_col: str) -> int:
         )
     except FileNotFoundError:
         return 0
+
+
+def _partition_dirs(root: str, partition_col: str) -> dict[str, str]:
+    """{logical partition value -> actual dir name} for one partition
+    column, from the REAL listing. Spark hive-escapes special characters
+    in partition dir names (':' -> '%3A', etc.), so deriving a dir name
+    with f"{col}={value}" silently misses those partitions — the r4
+    ADVICE-high bug: delete_keys 'succeeded' while the escaped dir (and
+    the supposedly-erased rows) survived. unquote() inverts Spark's
+    ExternalCatalogUtils.escapePathName (percent-hex escaping)."""
+    prefix = f"{partition_col}="
+    out: dict[str, str] = {}
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return out
+    for d in names:
+        if d.startswith(prefix) and os.path.isdir(os.path.join(root, d)):
+            out[unquote(d[len(prefix):])] = d
+    return out
+
+
+def _null_key_predicate(key_cols: list[str]):
+    # Column API, not an f-string filter: names needing backticks
+    # (spaces, dots, dashes) would make the SQL string throw or bind to
+    # the wrong expression.
+    return functools.reduce(operator.or_, [F.col(c).isNull() for c in key_cols])
+
+
+@contextlib.contextmanager
+def _maintenance_lock(io: ParquetIO, table: str):
+    """Single-maintenance-writer guard: compact/upsert/delete on one
+    table share the `__precompact` backup path and rename the live table
+    dir, so two concurrent ops (a scheduled compaction racing a CDC
+    upsert stream) can destroy each other's backup mid-swap. An O_EXCL
+    lock file under the warehouse serializes them; a lock whose owner
+    pid is dead is stolen (crash leftovers must not wedge scheduled
+    jobs). Single-host semantics — on a shared object store, use the
+    catalog's own transaction/locking layer instead."""
+    lock_path = io.location(table) + ".__maintenance_lock"
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    for _attempt in range(2):
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                holder = int(open(lock_path).read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            alive = False
+            if holder > 0:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if alive:
+                raise RuntimeError(
+                    f"table {table!r} is under maintenance by pid {holder} "
+                    f"(lock {lock_path}) — maintenance ops must not run "
+                    "concurrently on one table"
+                )
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock_path)  # stale: owner is gone
+    else:
+        raise RuntimeError(f"could not acquire maintenance lock {lock_path}")
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock_path)
 
 
 def table_file_stats(io: ParquetIO, table: str) -> tuple[int, int]:
@@ -116,6 +196,22 @@ def compact_table(
             "for Iceberg tables run the catalog's rewrite_data_files "
             "procedure instead"
         )
+    with _maintenance_lock(io, table):
+        return _compact_locked(
+            spark, io, table, target_file_bytes, partition_by,
+            min_files_to_compact, cluster_by,
+        )
+
+
+def _compact_locked(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    target_file_bytes: int,
+    partition_by: list[str] | None,
+    min_files_to_compact: int,
+    cluster_by: list[str] | None,
+) -> dict:
     _recover_parked_table(io, table)
     files_before, bytes_before = table_file_stats(io, table)
     if files_before < min_files_to_compact:
@@ -220,9 +316,7 @@ def upsert_table(
     # to the row it meant to replace, and a NULL partition value would
     # make dynamic overwrite REPLACE that partition while the semi-join
     # failed to carry its existing rows — both silently corrupting.
-    null_key = updates.filter(
-        " OR ".join(f"{c} IS NULL" for c in key_cols)
-    ).limit(1)
+    null_key = updates.filter(_null_key_predicate(key_cols)).limit(1)
     if null_key.count() > 0:
         raise ValueError(
             f"updates contain NULL in key columns {key_cols} — NULL keys "
@@ -255,10 +349,11 @@ def upsert_table(
     # that is ~5 scans per micro-batch
     updates = updates.persist()
     try:
-        return _apply_upsert(
-            spark, io, table, updates, key_cols, partition_by,
-            max_touched_partitions,
-        )
+        with _maintenance_lock(io, table):
+            return _apply_upsert(
+                spark, io, table, updates, key_cols, partition_by,
+                max_touched_partitions,
+            )
     finally:
         updates.unpersist()
 
@@ -319,35 +414,39 @@ def expire_partitions(
     whole partition directories (the Iceberg expire/DROP PARTITION
     analog) — a metadata-scale operation, no data is read or rewritten.
     Exactly one of keep_values / drop_values must be given; values are
-    the partition VALUES as they appear in `<col>=<value>` dirs (hive
-    escaping is the caller's concern for exotic values). Removing a
-    directory is atomic per partition and idempotent — re-running after
-    a crash just deletes the remainder. Returns the dropped/kept lists
-    so a scheduled retention job can log its decisions."""
+    LOGICAL partition values — the listing is matched through Spark's
+    hive escaping (':' is stored as '%3A'), so exotic values expire
+    correctly. Removing a directory is atomic per partition and
+    idempotent — re-running after a crash just deletes the remainder.
+    Returns dropped/kept/failed lists: a partition whose rmtree did not
+    actually remove it (permissions, open handles) lands in `failed`,
+    never in `dropped` — scheduled retention jobs must log the truth."""
     if (keep_values is None) == (drop_values is None):
         raise ValueError("pass exactly one of keep_values / drop_values")
     root = io.location(table)
-    prefix = f"{partition_col}="
-    present = sorted(
-        d[len(prefix):]
-        for d in os.listdir(root)
-        if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
-    )
-    if not present:
+    dirs = _partition_dirs(root, partition_col)
+    if not dirs:
         raise ValueError(
             f"table {table!r} has no {partition_col}= partition dirs — "
             "wrong column or unpartitioned table"
         )
+    present = sorted(dirs)
     if keep_values is not None:
-        to_drop = [v for v in present if v not in set(keep_values)]
+        keep = {str(v) for v in keep_values}
+        to_drop = [v for v in present if v not in keep]
     else:
-        to_drop = [v for v in present if v in set(drop_values)]
+        drop = {str(v) for v in drop_values}
+        to_drop = [v for v in present if v in drop]
+    dropped, failed = [], []
     for v in to_drop:
-        shutil.rmtree(os.path.join(root, prefix + v), ignore_errors=True)
+        path = os.path.join(root, dirs[v])
+        shutil.rmtree(path, ignore_errors=True)
+        (failed if os.path.isdir(path) else dropped).append(v)
     return {
         "table": table,
         "partition_col": partition_col,
-        "dropped": to_drop,
+        "dropped": dropped,
+        "failed": failed,
         "kept": [v for v in present if v not in set(to_drop)],
     }
 
@@ -359,22 +458,28 @@ def delete_keys(
     keys,
     key_cols: list[str],
     partition_by: list[str] | None = None,
+    max_touched_partitions: int = 10_000,
 ) -> dict:
     """Row-level delete by key (the GDPR/right-to-erasure shape; the
     Iceberg `DELETE FROM t WHERE key IN (...)` analog): rows of `table`
     matching any row of the `keys` frame on `key_cols` are removed via
     an anti-join rewrite. Partitioned tables with partition_by ⊆
-    key_cols rewrite ONLY the partitions named in the keys (semi-join
-    pruned read + dynamic-partition-overwrite commit, idempotent like
-    upsert); otherwise the whole table rewrites through the crash-safe
-    swap. NULL key values are refused — they never equi-join, so the
-    'deletion' would silently keep the row."""
+    key_cols rewrite ONLY the partitions named in the keys (broadcast
+    semi-join pruned read + dynamic-partition-overwrite commit,
+    idempotent like upsert, capped at max_touched_partitions — past
+    that it is a table rewrite and is refused); otherwise the whole
+    table rewrites through the crash-safe swap. NULL key values are
+    refused — they never equi-join, so the 'deletion' would silently
+    keep the row.
+
+    Erasure is VERIFIED, not assumed: after the rewrite the touched
+    slice is re-read and semi-joined against the keys; any survivor
+    (e.g. a partition directory the cleanup failed to remove) raises
+    instead of returning success — this is the path compliance jobs
+    trust."""
     if not isinstance(io, ParquetIO):
         raise TypeError("delete_keys only understands the Parquet directory layout")
-    _recover_parked_table(io, table)
-    null_key = keys.filter(
-        " OR ".join(f"{c} IS NULL" for c in key_cols)
-    ).limit(1)
+    null_key = keys.filter(_null_key_predicate(key_cols)).limit(1)
     if null_key.count() > 0:
         raise ValueError(
             f"keys contain NULL in {key_cols} — NULL keys never match, the "
@@ -382,36 +487,82 @@ def delete_keys(
         )
     keys = keys.select(*key_cols).distinct().persist()
     try:
-        n_keys = keys.count()
-        existing = io.read(spark, table)
-        if partition_by and len(partition_by) == 1 \
-                and set(partition_by) <= set(key_cols):
-            (pcol,) = partition_by
-            touched_vals = [r[0] for r in keys.select(pcol).distinct().collect()]
-            base = existing.filter(F.col(pcol).isin(touched_vals))
-            remaining = base.join(keys, key_cols, "left_anti").localCheckpoint()
-            io.write(remaining, table, mode="overwrite_partitions",
-                     partition_by=partition_by)
-            # dynamic overwrite only replaces partitions PRESENT in the
-            # output: a partition whose rows were ALL deleted emits no
-            # rows, so its old directory would silently survive with the
-            # supposedly-deleted data — remove emptied partitions
-            # explicitly (idempotent, atomic per partition)
-            still_there = {
-                r[0] for r in remaining.select(pcol).distinct().collect()
-            }
-            for v in touched_vals:
-                if v not in still_there:
-                    shutil.rmtree(
-                        os.path.join(io.location(table), f"{pcol}={v}"),
-                        ignore_errors=True,
-                    )
-            return {"table": table, "keys_requested": n_keys, "scope": "partitions"}
-        remaining = existing.join(keys, key_cols, "left_anti")
-        tmp = f"{table}__deleting"
-        io.delete(spark, tmp)
-        io.write(remaining, tmp, mode="overwrite", partition_by=partition_by)
-        _swap_in(io, table, tmp)
-        return {"table": table, "keys_requested": n_keys, "scope": "table"}
+        with _maintenance_lock(io, table):
+            _recover_parked_table(io, table)
+            return _apply_delete(
+                spark, io, table, keys, key_cols, partition_by,
+                max_touched_partitions,
+            )
     finally:
         keys.unpersist()
+
+
+def _apply_delete(
+    spark: SparkSession,
+    io: ParquetIO,
+    table: str,
+    keys,
+    key_cols: list[str],
+    partition_by: list[str] | None,
+    max_touched_partitions: int,
+) -> dict:
+    n_keys = keys.count()
+    existing = io.read(spark, table)
+    if partition_by and len(partition_by) == 1 \
+            and set(partition_by) <= set(key_cols):
+        (pcol,) = partition_by
+        touched = keys.select(pcol).distinct()
+        n_touched = touched.limit(max_touched_partitions + 1).count()
+        if n_touched > max_touched_partitions:
+            raise ValueError(
+                f"keys touch > {max_touched_partitions} partitions — that "
+                "is a table rewrite; call without partition pruning or "
+                "raise max_touched_partitions"
+            )
+        base = existing.join(F.broadcast(touched), [pcol], "left_semi")
+        remaining = base.join(keys, key_cols, "left_anti").localCheckpoint()
+        io.write(remaining, table, mode="overwrite_partitions",
+                 partition_by=partition_by)
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # output: a partition whose rows were ALL deleted emits no rows,
+        # so its old directory would silently survive with the
+        # supposedly-deleted data — remove emptied partitions explicitly.
+        # Matching goes through the REAL directory listing (hive-escaped
+        # names unescaped), never a formatted f"{col}={value}" guess:
+        # values like '2024:01' live in dirs like 'p=2024%3A01'.
+        emptied = [
+            r[0]
+            for r in touched.join(
+                remaining.select(pcol).distinct(), [pcol], "left_anti"
+            ).collect()  # bounded: <= n_touched <= max_touched_partitions
+        ]
+        dirs = _partition_dirs(io.location(table), pcol)
+        for v in emptied:
+            d = dirs.get(str(v))
+            if d is not None:
+                shutil.rmtree(os.path.join(io.location(table), d),
+                              ignore_errors=True)
+        # read-back proof of erasure over the touched slice only
+        survivors = (
+            io.read(spark, table)
+            .join(F.broadcast(touched), [pcol], "left_semi")
+            .join(keys, key_cols, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if survivors:
+            raise RuntimeError(
+                f"delete_keys on {table!r}: deleted keys still present "
+                "after rewrite — erasure NOT complete (check partition-dir "
+                "permissions/open handles)"
+            )
+        return {
+            "table": table, "keys_requested": n_keys,
+            "partitions_touched": n_touched, "scope": "partitions",
+        }
+    remaining = existing.join(keys, key_cols, "left_anti")
+    tmp = f"{table}__deleting"
+    io.delete(spark, tmp)
+    io.write(remaining, tmp, mode="overwrite", partition_by=partition_by)
+    _swap_in(io, table, tmp)
+    return {"table": table, "keys_requested": n_keys, "scope": "table"}

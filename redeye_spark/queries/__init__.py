@@ -10,7 +10,13 @@ from . import logs, media, streamq, tpch, training
 
 QUERIES = {}
 ORACLES = {}
-for _m in (logs, tpch, training, media, streamq):
+# Registration order IS the driver's verification order (its correctness
+# budget caps at the first 50 entries). Round 5 rotates the
+# training/media/streaming families to the FRONT: they were past the
+# 50-slot window in r3/r4 and never got a driver row, while the
+# logs/TPC-H families have been driver-verified twice running
+# (r4 verdict #2). validate.py covers ALL entries at sf0.1 regardless.
+for _m in (training, media, streamq, logs, tpch):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 

@@ -247,6 +247,7 @@ def start_dedup_stream(
     watermark: str = "2 hours",
     key_cols: tuple[str, ...] = ("doc_id",),
     trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = 4,
 ):
     """Streaming exact dedup with BOUNDED state: the same parse/enrich
     plan, then a watermark on event time and
@@ -256,7 +257,7 @@ def start_dedup_stream(
     dropDuplicates() would grow state forever on an infinite stream).
     This is the streaming face of operators/dedup.exact_dedup: dedup a
     training-data firehose at ingest instead of in a batch sweep."""
-    raw = read_stream(spark, input_path)
+    raw = read_stream(spark, input_path, max_files_per_trigger)
     tagged = build_tagged(spark, raw, cfg or PipelineConfig())
     ok = tagged.filter(F.col("timestamp").isNotNull())
     deduped = ok.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(

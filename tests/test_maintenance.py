@@ -383,3 +383,78 @@ class TestRetentionAndDelete:
         with pytest.raises(ValueError, match="NULL"):
             delete_keys(spark, io, "t",
                         spark.createDataFrame([(None,)], "k long"), key_cols=["k"])
+
+    def test_delete_keys_removes_hive_escaped_empty_partition(self, spark, tmp_path):
+        """r4 ADVICE-high regression: Spark hive-escapes special chars in
+        partition dir names ('2024:01' -> 'p=2024%3A01'); the emptied-dir
+        cleanup must match the REAL listing, not an f-string guess, and
+        the read-back verifier must prove the rows are gone."""
+        import os
+        from redeye_spark.plans.maintenance import delete_keys
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame(
+            [("2024:01", 1, "a"), ("2024:02", 2, "b")],
+            "p string, k long, v string"), "t", partition_by=["p"])
+        assert os.path.isdir(io.location("t") + "/p=2024%3A01")  # escaped layout
+        st = delete_keys(spark, io, "t",
+                         spark.createDataFrame([("2024:01", 1)], "p string, k long"),
+                         key_cols=["p", "k"], partition_by=["p"])
+        assert st["scope"] == "partitions"
+        assert not os.path.isdir(io.location("t") + "/p=2024%3A01")
+        assert {r["p"] for r in io.read(spark, "t").collect()} == {"2024:02"}
+
+    def test_expire_partitions_hive_escaped_values(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import expire_partitions
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame(
+            [("2024:01", 1), ("2024:02", 2)], "day string, v long"),
+            "t", partition_by=["day"])
+        st = expire_partitions(io, "t", "day", drop_values=["2024:01"])
+        assert st["dropped"] == ["2024:01"] and st["failed"] == []
+        assert {r["day"] for r in io.read(spark, "t").collect()} == {"2024:02"}
+
+    def test_delete_keys_touched_partition_cap(self, spark, tmp_path):
+        from redeye_spark.plans.maintenance import delete_keys
+
+        io = self._io(tmp_path)
+        io.write(spark.createDataFrame(
+            [(f"d{i}", i, "x") for i in range(5)], "p string, k long, v string"),
+            "t", partition_by=["p"])
+        with pytest.raises(ValueError, match="touch >"):
+            delete_keys(spark, io, "t",
+                        spark.createDataFrame([(f"d{i}", i) for i in range(5)],
+                                              "p string, k long"),
+                        key_cols=["p", "k"], partition_by=["p"],
+                        max_touched_partitions=3)
+
+
+class TestMaintenanceLock:
+    def test_live_lock_refuses_concurrent_op(self, spark, tmp_path):
+        import os
+        from redeye_spark.plans.maintenance import compact_table
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        io.write(spark.range(10).repartition(4), "t")
+        lock = io.location("t") + ".__maintenance_lock"
+        with open(lock, "w") as f:
+            f.write(str(os.getpid()))  # a LIVE holder
+        with pytest.raises(RuntimeError, match="under maintenance"):
+            compact_table(spark, io, "t", min_files_to_compact=1)
+        os.unlink(lock)
+
+    def test_stale_lock_is_stolen_and_released(self, spark, tmp_path):
+        import os
+        from redeye_spark.plans.maintenance import compact_table
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        io.write(spark.range(10).repartition(4), "t")
+        lock = io.location("t") + ".__maintenance_lock"
+        with open(lock, "w") as f:
+            f.write("999999999")  # dead pid -> stale, must be stolen
+        st = compact_table(spark, io, "t", min_files_to_compact=1)
+        assert st["rewritten"] is True
+        assert not os.path.exists(lock)  # released on exit

