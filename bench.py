@@ -66,6 +66,11 @@ TIMED_QUERIES = [
     # round 4: hot-key-safe bucketed as-of (3 exchanges vs 1 — the
     # skew-insurance overhead should stay a small constant factor)
     "asof_bucketed",
+    # round 5: the LLM-ops families enter the timed set (r4 verdict #4 —
+    # a 2x dedup/ANN regression was machine-invisible before)
+    "minhash_pairs",
+    "similarity_topk",
+    "dedup_exact_hashed",
 ]
 
 # Pinned per-query baselines: best recorded sf0.1 wall seconds from the

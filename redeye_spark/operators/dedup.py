@@ -242,12 +242,19 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    # Skew guardrail: drop pathological buckets.
-    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("bs"))
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bs") <= max_bucket).drop("bs"),
-        on=["band_idx", "band_hash"],
-        how="inner",
+    # Skew guardrail: drop pathological buckets. A count() WINDOW over
+    # (band_idx, band_hash) instead of a groupBy + self-join: the window
+    # shares ONE exchange with the pair self-join below (ReusedExchange),
+    # so the signature mapInPandas pass runs once — the join formulation
+    # recomputed signatures for the size aggregate and for each join side
+    # (3-4 scans of the most expensive stage, at any corpus size).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash")
+    banded = (
+        banded.withColumn("_bs", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bs") <= max_bucket)
+        .drop("_bs")
     )
     l = banded.select(
         F.col("band_idx"), F.col("band_hash"),

@@ -6,7 +6,7 @@ merges them into the QUERIES/ORACLES dicts consumed by
 constant for tests.
 """
 
-from . import logs, media, streamq, tpch, training
+from . import annq, dedupq, logs, media, streamq, tpch, training, windowsq
 
 QUERIES = {}
 ORACLES = {}
@@ -16,11 +16,12 @@ ORACLES = {}
 # 50-slot window in r3/r4 and never got a driver row, while the
 # logs/TPC-H families have been driver-verified twice running
 # (r4 verdict #2). validate.py covers ALL entries at sf0.1 regardless.
-for _m in (training, media, streamq, logs, tpch):
+_MODULES = (training, dedupq, annq, media, streamq, logs, tpch, windowsq)
+for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 
-for _m in (logs, tpch, training, media, streamq):
+for _m in _MODULES:
     for _k, _v in vars(_m).items():
         if _k.startswith(("q_", "SQL_")):
             globals()[_k] = _v

@@ -1,0 +1,224 @@
+"""ANN similarity queries: brute-force cosine top-k, IVF (in-memory
+and persisted partition-pruned index), embedding vector stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: F401
+
+from ..functions.logparse import FORMAT_COMMON  # noqa: F401
+from ..operators import enrich as enrich_op  # noqa: F401
+from ..operators import parse_op, route as route_op, tokenize_op  # noqa: F401
+from ..operators import aggregate as agg_op  # noqa: F401
+from ._shared import (  # noqa: F401
+    _OFFS, _STATUS, _frags, _oracle_base, _parsed, _spark_lines, _spread,
+    _utc, _PARSE_COLS,
+)
+
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 3 vectors (exact ANN
+    baseline). Returns ranks only — cross-engine float hashing of the
+    cosine itself is not stable at the last ulp."""
+    from ..operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    top = similarity.brute_force_topk(embs, queries, k=5)
+    return top.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_SIMILARITY_TOPK = """
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 3
+) WHERE rank <= 5
+"""
+
+
+def _ivf_fixed_centroids(nlist: int = 8, dim: int = 64, seed: int = 7):
+    """Deterministic centroids for the driver-checked IVF query: seeded
+    Gaussian directions, normalized. Fixing the centroids (instead of
+    k-means-fitting them) lets the DuckDB oracle embed the SAME values as
+    literals and replicate the FULL IVF semantics — assignment, probing,
+    pruned ranking — in SQL. Production callers use fit_centroids()."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=(nlist, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+_IVF_NPROBE = 3
+
+
+def _ivf_inputs(spark: SparkSession, sf_dir: str):
+    """Shared by the in-memory and persisted-index IVF queries — they
+    MUST select identical query vectors to share one oracle."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    return embs, queries
+
+
+def _ivf_project(top: DataFrame) -> DataFrame:
+    return top.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for the first 3 vectors with fixed centroids: the
+    oracle mirrors list assignment + nprobe probing + in-list ranking
+    exactly, so this verifies the whole IVF plan (assign -> prune ->
+    masked local top-k -> global merge), not just output shape."""
+    from ..operators import similarity
+
+    embs, queries = _ivf_inputs(spark, sf_dir)
+    top = similarity.ivf_topk(
+        embs, queries, k=5, nprobe=_IVF_NPROBE, centroids=_ivf_fixed_centroids()
+    )
+    return _ivf_project(top)
+
+
+_IVF_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME IVF query through a PERSISTED index (build_ivf_index
+    with the fixed centroids -> parquet partitioned by list_id ->
+    ivf_topk_indexed): sharing q_ivf_topk's oracle hash-pins the
+    build/load/partition-pruned-probe path to identical semantics —
+    centroids round-trip float64-exact, and the probe filter prunes
+    stored partitions instead of post-filtering a scan (plan-gated in
+    TestIvfIndex). NOTE: constructing this query BUILDS the index (a
+    write job) on first call per (session, sf_dir) — memoized so
+    repeated sweeps reuse one directory — and it is therefore listed in
+    the plan-gate's eager-query skip list."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import similarity
+
+    embs, queries = _ivf_inputs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="redeye_ivf_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        similarity.build_ivf_index(embs, path, centroids=_ivf_fixed_centroids())
+        _IVF_INDEX_CACHE[key] = path
+    top = similarity.ivf_topk_indexed(
+        spark, path, queries, k=5, nprobe=_IVF_NPROBE
+    )
+    return _ivf_project(top)
+
+
+def _ivf_oracle_sql() -> str:
+    cents = _ivf_fixed_centroids()
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(float(v)) for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(list_id, cvec) AS (VALUES {rows}),
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.list_id FROM cents c
+          ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.list_id
+          LIMIT 1) AS list_id
+  FROM embeddings e
+),
+probes AS (
+  SELECT q.vec_id AS query_id, c.list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC, c.list_id
+         ) AS pr
+  FROM embeddings q, cents c WHERE q.vec_id < 3
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT p.query_id, a.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(q.embedding, a.embedding) DESC, a.vec_id
+         ) AS rank
+  FROM (SELECT query_id, list_id FROM probes WHERE pr <= {_IVF_NPROBE}) p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+) WHERE rank <= 5
+"""
+
+
+SQL_IVF_TOPK = _ivf_oracle_sql()
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math FULLY JVM-side via higher-order functions — zero
+    Python, zero explode-shuffle: per-embedding L2 norm through
+    F.aggregate's sequential fold and a self-reversed dot product
+    through F.zip_with + F.reverse. Every lambda casts to DOUBLE before
+    multiplying so both engines run the identical IEEE sequence; the
+    DuckDB oracle replays the same left fold with list_reduce over a
+    0-prepended term list (its bare reduce seeds with element 1, which
+    would skip squaring it)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.reverse("embedding"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(dot_rev, 6).alias("dot_reversed"),
+    )
+
+
+SQL_EMBEDDING_STATS = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sq,
+         list_transform(embedding,
+                        (x, i) -> CAST(x AS DOUBLE)
+                                  * CAST(embedding[len(embedding) - i + 1] AS DOUBLE)) AS pr
+  FROM embeddings
+)
+SELECT vec_id,
+       round(sqrt(list_reduce(list_prepend(0.0, sq), (a, b) -> a + b)), 6) AS l2_norm,
+       round(list_reduce(list_prepend(0.0, pr), (a, b) -> a + b), 6) AS dot_reversed
+FROM t
+"""
+
+
+QUERIES = {
+    "similarity_topk": q_similarity_topk,
+    "ivf_topk": q_ivf_topk,
+    "ivf_topk_indexed": q_ivf_topk_indexed,
+    "embedding_stats": q_embedding_stats,
+}
+
+ORACLES = {
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
+    "ivf_topk_indexed": SQL_IVF_TOPK,
+    "embedding_stats": SQL_EMBEDDING_STATS,
+}

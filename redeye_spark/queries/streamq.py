@@ -366,16 +366,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base + "/in", ignore_errors=True)
     shutil.rmtree(base + "/ckpt", ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # status_code is NULL on the '-' slice -> cast DOUBLE on both sides
+    # (nullable-int pandas dtype class flaps with the head-50 sample)
     return spark.read.parquet(base + "/out").select(
         "doc_id", "source",
-        F.col("status_code").cast("long").alias("status_code"),
+        F.col("status_code").cast("double").alias("status_code"),
         F.unix_micros(F.col("timestamp").cast("timestamp")).alias("ts_us"),
     )
 
 
 SQL_STREAM_DEDUP = f"""
 WITH {_oracle_base()}
-SELECT doc_id, source, CAST(status_code AS BIGINT) AS status_code,
+SELECT doc_id, source, CAST(status_code AS DOUBLE) AS status_code,
        epoch_us(date_trunc('second', ts_utc)) AS ts_us
 FROM expected WHERE error_kind IS NULL
 """
