@@ -92,6 +92,13 @@ QUERY_BASELINES_S = {
     "regional_revenue": 1.27,
     # round-4 queries: best of the two round-4 samples becomes the pin
     "asof_bucketed": 2.33,
+    # round-5 LLM-ops entries: best of the two round-5 samples. The
+    # minhash number is the COLD cost (bench charges each query one
+    # un-warmed run) of signatures + banding + exact-verify joins at
+    # sf0.1's 5k-doc corpus — startup constants dominate at this size.
+    "minhash_pairs": 21.5,
+    "similarity_topk": 0.59,
+    "dedup_exact_hashed": 0.28,
 }
 
 

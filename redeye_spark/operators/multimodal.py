@@ -120,15 +120,72 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, list[float]]:
     return w, h, (hist / (hist.sum() or 1.0)).astype(np.float32).tolist()
 
 
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real decode of one uncompressed Windows BMP (BITMAPINFOHEADER,
+    8-bit palette or 24-bit BI_RGB), pure numpy: parse both headers,
+    strip the 4-byte row padding, resolve palette indices to BGR bytes
+    for 8-bit images, return (width, height, 8-bucket L1-normalized
+    intensity histogram) — the same feature contract as _decode_ppm.
+    Bottom-up vs top-down row order is irrelevant to the histogram."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError(
+            f"unknown image codec (magic {payload[:2]!r}); expected BMP"
+        )
+    b = np.frombuffer(payload, dtype=np.uint8)
+    u = lambda lo, hi, signed=False: int.from_bytes(  # noqa: E731
+        payload[lo:hi], "little", signed=signed)
+    data_off = u(10, 14)
+    dib_size = u(14, 18)
+    if dib_size < 40:
+        raise NotImplementedError(f"unsupported BMP DIB header size {dib_size}")
+    w = u(18, 22, signed=True)
+    h = abs(u(22, 26, signed=True))
+    bpp = u(28, 30)
+    compression = u(30, 34)
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"only uncompressed 8/24-bit BMP decodes here (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    row_bytes = (w * bpp) // 8
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} bytes < {need}")
+    rows = b[data_off : data_off + stride * h].reshape(h, stride)[:, :row_bytes]
+    if bpp == 8:
+        n_colors = u(46, 50) or 256
+        pal_off = 14 + dib_size
+        palette = b[pal_off : pal_off + n_colors * 4].reshape(-1, 4)[:, :3]
+        px = palette[rows.reshape(-1)].reshape(-1)  # indices -> BGR bytes
+    else:
+        px = rows.reshape(-1)
+    hist = np.bincount(px >> 5, minlength=8).astype(np.float64)
+    return w, h, (hist / (hist.sum() or 1.0)).astype(np.float32).tolist()
+
+
+def _decode_raster(payload: bytes) -> tuple[int, int, list[float]]:
+    """Magic-dispatched real raster decode: P6 -> PPM, BM -> BMP."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        f"unknown image codec (magic {payload[:4]!r}); only binary PPM "
+        "(P6) and uncompressed BMP decode without PIL/opencv here"
+    )
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload", fake: bool = False) -> DataFrame:
     """Image decode + feature extraction over mapInPandas.
 
-    fake=False is the REAL path: binary-PPM (P6) payloads are decoded
-    with the pure-numpy parser above (header -> dimensions, pixels ->
-    histogram features); any other codec raises NotImplementedError
-    INSIDE the executor, exactly as a missing system codec would. The
-    fake=True stand-in (deterministic byte-level features for ANY
-    payload) remains for pipelines whose formats need PIL/opencv."""
+    fake=False is the REAL path: binary-PPM (P6) and uncompressed BMP
+    payloads are decoded with the pure-numpy parsers above (header ->
+    dimensions, pixels -> histogram features); any other codec raises
+    NotImplementedError INSIDE the executor, exactly as a missing
+    system codec would. The fake=True stand-in (deterministic
+    byte-level features for ANY payload) remains for pipelines whose
+    formats need PIL/opencv."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -143,7 +200,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload", fake: bool = False
                     if p is None:
                         widths.append(None); heights.append(None); feats.append(None)
                         continue
-                    w, h, f = _decode_ppm(bytes(p))
+                    w, h, f = _decode_raster(bytes(p))
                     widths.append(w); heights.append(h); feats.append(f)
                 out = pd.DataFrame({"width": widths, "height": heights, "features": feats})
             out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))

@@ -187,3 +187,40 @@ def top_tfidf_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "score", "rank")
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical dedup-normalization: lowercase, strip everything except
+    word chars and whitespace, collapse whitespace runs, trim. The
+    standard pre-pass before exact/near dedup so trivially-reformatted
+    copies (case, punctuation, spacing) collapse to one key. Pure
+    codegen expressions — replicated verbatim by the DuckDB oracle, and
+    runs at scan speed at any corpus size."""
+    c = F.lower(F.coalesce(col, F.lit("")))
+    c = F.regexp_replace(c, r"[^\w\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style quality rule:
+    heavily self-repeating documents are low-value training data):
+    per-doc word-bigram count and the fraction of DUPLICATE bigrams
+    (1 - distinct/total). All higher-order JVM expressions — transform
+    over a sequence builds the bigram array, array_distinct measures
+    repetition; zero Python, zero shuffle, scan-speed at 100 TB."""
+    ws = ws_tokens(text_col)
+    n = F.size(ws)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    dup_ratio = F.when(
+        nb > 0, F.round((nb - F.size(F.array_distinct(bigrams))) / nb, 4)
+    ).otherwise(F.lit(None).cast("double"))
+    return df.select(
+        "*",
+        nb.cast("long").alias("n_bigrams"),
+        dup_ratio.alias("dup_bigram_ratio"),
+    )

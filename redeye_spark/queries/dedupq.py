@@ -349,6 +349,34 @@ WHERE g.source <> 'src0'
 """
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text (lower, strip punctuation,
+    collapse whitespace) — the standard pre-pass that collapses
+    trivially-reformatted copies. Same group contract as dedup_exact;
+    DuckDB replicates the normalization with the identical regex
+    chain."""
+    from ..operators import dedup
+    from ..operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = docs.select(
+        "doc_id", text_op.normalize_text(F.col("text")).alias("text")
+    )
+    return dedup.exact_dedup(norm)
+
+
+SQL_DEDUP_NORMALIZED = r"""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+              '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+GROUP BY t
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_hashed": q_dedup_exact_hashed,
@@ -362,6 +390,7 @@ QUERIES = {
     "dedup_cc_star": q_dedup_cc_star,
     "decontaminate": q_decontaminate,
     "decontaminate_shuffle": q_decontaminate_shuffle,
+    "dedup_normalized": q_dedup_normalized,
 }
 
 ORACLES = {
@@ -377,4 +406,5 @@ ORACLES = {
     "dedup_cc_star": SQL_DEDUP_CC,
     "decontaminate": SQL_DECONTAMINATE,
     "decontaminate_shuffle": SQL_DECONTAMINATE,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
 }

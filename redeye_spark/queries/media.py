@@ -271,10 +271,78 @@ FROM c
 """
 
 
+def q_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode: a binary 54-byte BITMAPINFOHEADER (built with
+    unhex — BMP headers carry NUL and little-endian length bytes, so the
+    chr()-ASCII trick the WAV builder uses doesn't apply) is prepended
+    to the document's ASCII text rpad-repeated to exactly width*3*height
+    bytes. Widths are 4 or 8 so each row's 3*w bytes already sit on the
+    4-byte BMP row boundary — no padding, so the pixel stream equals the
+    rpad bytes and the oracle predicts every histogram bucket with the
+    SAME byte arithmetic as the PPM oracle."""
+    from ..operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(_ASCII_ONLY)
+    w = "(doc_id % 2) * 4 + 4"
+    h = "doc_id % 4 + 3"
+    img = f"({w}) * 3 * ({h})"
+    hexfmt = (
+        "424d%02x000000000000003600000028000000%02x000000%02x000000"
+        "0100180000000000%02x000000130b0000130b00000000000000000000"
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.unhex(F.format_string(
+                hexfmt,
+                F.expr(f"CAST(54 + {img} AS INT)"),
+                F.expr(f"CAST({w} AS INT)"),
+                F.expr(f"CAST({h} AS INT)"),
+                F.expr(f"CAST({img} AS INT)"),
+            )),
+            F.encode(F.expr(f"rpad(text, CAST({img} AS INT), text)"), "utf-8"),
+        ).alias("payload"),
+    )
+    feats = multimodal.decode_image(media, fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        *[
+            F.round(F.col("features")[k].cast("double"), 6).alias(f"f{k}")
+            for k in range(8)
+        ],
+    )
+
+
+SQL_DECODE_BMP = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST((doc_id % 2) * 4 + 4 AS INT) AS w,
+         CAST(doc_id % 4 + 3 AS INT) AS h,
+         rpad(text, CAST(((doc_id % 2) * 4 + 4) * 3 * (doc_id % 4 + 3) AS INT), text) AS pix
+  FROM documents WHERE {_SQL_ASCII_ONLY}
+),
+u AS (
+  SELECT doc_id, w, h, (ascii(substr(pix, CAST(i AS INT), 1)) // 32) AS b
+  FROM px, unnest(generate_series(1, length(pix))) AS t(i)
+),
+c AS (
+  SELECT doc_id, w, h, count(*) AS n,
+         {_DECODE_BUCKETS}
+  FROM u GROUP BY doc_id, w, h
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, w AS width, h AS height,
+       {_DECODE_FEATS}
+FROM c
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "frame_sample": q_frame_sample,
     "decode_image": q_decode_image,
+    "decode_bmp": q_decode_bmp,
     "decode_audio": q_decode_audio,
     "decode_video": q_decode_video,
 }
@@ -283,6 +351,7 @@ ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "frame_sample": SQL_FRAME_SAMPLE,
     "decode_image": SQL_DECODE_IMAGE,
+    "decode_bmp": SQL_DECODE_BMP,
     "decode_audio": SQL_DECODE_AUDIO,
     "decode_video": SQL_DECODE_VIDEO,
 }

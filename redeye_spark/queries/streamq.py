@@ -458,12 +458,82 @@ WHERE o_orderkey % 10 <= 7
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE session windows under readStream with merging state: the
+    same session_window_stats operator as the batch twin, driven through
+    a watermarked stream. Single availableNow batch -> no intra-stream
+    late drops; append mode emits exactly the sessions the TERMINAL
+    watermark closed (session end = last event + gap <= max event time
+    - 2h), a condition the batch oracle states with one HAVING clause."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming import stream as stream_mod
+    from ..plans.pipeline import PipelineConfig
+
+    base = tempfile.mkdtemp(prefix="redeye_stream_sess_")
+    try:
+        raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir)).coalesce(1)
+        raw.write.mode("overwrite").parquet(base + "/in")
+        q = stream_mod.start_session_stream(
+            spark, base + "/in", base + "/out", base + "/ckpt",
+            cfg=PipelineConfig(), key_col="remote_host",
+            gap="30 minutes", watermark="2 hours",
+            trigger_available_now=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("session stream did not finish in 600s")
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    shutil.rmtree(base + "/in", ignore_errors=True)
+    shutil.rmtree(base + "/ckpt", ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return spark.read.parquet(base + "/out").select(
+        "remote_host",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_str"),
+        "n_requests",
+        "duration_sec",
+    )
+
+
+# the batch session oracle + the terminal-watermark close condition:
+# a session is emitted iff last_event + gap <= max(event_time) - 2h
+SQL_STREAM_SESSIONS = f"""
+WITH {_oracle_base()},
+ok AS (
+  SELECT remote_host, date_trunc('second', ts_utc) AS t
+  FROM expected WHERE error_kind IS NULL AND remote_host IS NOT NULL
+),
+s AS (
+  SELECT remote_host, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR epoch(t) - epoch(lag(t) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ok WINDOW w AS (PARTITION BY remote_host ORDER BY t)
+),
+s2 AS (
+  SELECT remote_host, t,
+         SUM(new_s) OVER (PARTITION BY remote_host ORDER BY t ROWS UNBOUNDED PRECEDING) AS sn
+  FROM s
+)
+SELECT remote_host,
+       strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS start_str,
+       COUNT(*) AS n_requests,
+       CAST(MAX(epoch(t)) - MIN(epoch(t)) AS BIGINT) AS duration_sec
+FROM s2 GROUP BY remote_host, sn
+HAVING MAX(epoch(t)) + 1800 <= (SELECT MAX(epoch(t)) - 7200 FROM ok)
+"""
+
+
 QUERIES = {
     "stream_counts": q_stream_counts,
     "stream_counts_multibatch": q_stream_counts_multibatch,
     "stream_error_correlation": q_stream_error_correlation,
     "stream_dedup": q_stream_dedup,
     "stream_upsert": q_stream_upsert,
+    "stream_sessions": q_stream_sessions,
 }
 
 ORACLES = {
@@ -474,4 +544,5 @@ ORACLES = {
     "stream_error_correlation": SQL_STREAM_ERROR_CORRELATION,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_upsert": SQL_STREAM_UPSERT,
+    "stream_sessions": SQL_STREAM_SESSIONS,
 }

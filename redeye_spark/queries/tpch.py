@@ -547,6 +547,60 @@ FROM j GROUP BY side
 """
 
 
+# GROUPING SETS: the general form of ROLLUP/CUBE — IDENTICAL ANSI text
+# through spark.sql and DuckDB (the Q22 pattern), including GROUPING()
+# disambiguation of "real NULL vs subtotal row".
+SQL_GROUPING_SETS_COUNTS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the shape ROLLUP/CUBE compile to, with a
+    hand-picked set list): Spark plans ONE Expand + hash aggregate — a
+    single scan serves all three granularities, which is the whole point
+    at 100 TB vs three separate groupBys."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(SQL_GROUPING_SETS_COUNTS)
+
+
+def q_zorder_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order interleave of two bucketed dimensions — the value
+    compact_table(cluster_by=) sorts on for multi-dimensional file
+    skipping. The oracle recomputes the interleave with plain
+    floor-div/mod arithmetic, pinning the bit layout exactly."""
+    from ..functions.zorder import zorder_value
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.filter("pmod(event_id, 101) = 0").select(
+        "event_id",
+        zorder_value(
+            [F.pmod(F.col("user_id"), F.lit(1024)),
+             F.pmod(F.col("event_id"), F.lit(1024))],
+            bits=10,
+        ).alias("z"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..functions.zorder import zorder_sql
+
+    z = zorder_sql(["user_id % 1024", "event_id % 1024"], bits=10)
+    return (
+        f"SELECT event_id, {z} AS z FROM events WHERE event_id % 101 = 0"
+    )
+
+
+SQL_ZORDER_SAMPLE = _zorder_oracle()
+
+
 QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "nation_revenue": q_nation_revenue,
@@ -563,6 +617,8 @@ QUERIES = {
     "value_band_counts": q_value_band_counts,
     "regional_revenue": q_regional_revenue,
     "user_order_coverage": q_user_order_coverage,
+    "grouping_sets_counts": q_grouping_sets_counts,
+    "zorder_sample": q_zorder_sample,
 }
 
 ORACLES = {
@@ -581,4 +637,6 @@ ORACLES = {
     "value_band_counts": SQL_VALUE_BAND_COUNTS,
     "regional_revenue": SQL_REGIONAL_REVENUE,
     "user_order_coverage": SQL_USER_ORDER_COVERAGE,
+    "grouping_sets_counts": SQL_GROUPING_SETS_COUNTS,
+    "zorder_sample": SQL_ZORDER_SAMPLE,
 }

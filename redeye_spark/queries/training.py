@@ -473,6 +473,80 @@ FROM sp GROUP BY split
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): per-doc
+    word-bigram count and duplicate-bigram ratio — all higher-order JVM
+    expressions (transform/sequence/array_distinct), zero Python, zero
+    shuffle. Oracle rebuilds the bigram list with DuckDB list functions
+    over the SAME whitespace tokenization."""
+    from ..operators import text as text_op
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_op.repetition_metrics(docs).select(
+        "doc_id", "n_bigrams", "dup_bigram_ratio"
+    )
+
+
+SQL_REPETITION_METRICS = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i + 1]) END AS bg
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CASE WHEN len(bg) > 0
+            THEN round((len(bg) - len(list_distinct(bg))) * 1.0 / len(bg), 4)
+            END AS dup_bigram_ratio
+FROM b
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection between two table versions (the incremental-
+    refresh / CDC-validation primitive): NEW is a deterministic mutation
+    of orders — keys %13==0 deleted, %7==0 repriced, %11==0 re-inserted
+    under shifted keys — so DuckDB states the expected change set from
+    the same arithmetic. The operator shuffles only (key, hash) digests,
+    never whole rows."""
+    from ..operators.diff import snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = orders.filter("pmod(o_orderkey, 13) != 0").selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "CASE WHEN pmod(o_orderkey, 7) = 0 THEN o_totalprice + 1 "
+        "ELSE o_totalprice END AS o_totalprice",
+    ).unionByName(
+        orders.filter("pmod(o_orderkey, 11) = 0").selectExpr(
+            "o_orderkey + 1000000000 AS o_orderkey", "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+    # check_unique=False: keys are unique by construction, and the probe
+    # would make this registry entry eager (plan-gate stays lazy)
+    return snapshot_diff(old, new, ["o_orderkey"], check_unique=False)
+
+
+SQL_SNAPSHOT_DIFF = """
+SELECT o_orderkey, 'delete' AS change FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT o_orderkey, 'update' FROM orders
+WHERE o_orderkey % 13 != 0 AND o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey + 1000000000, 'insert' FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 QUERIES = {
     "text_quality": q_text_quality,
     "subword_tokens": q_subword_tokens,
@@ -488,6 +562,8 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "chunk_tokens": q_chunk_tokens,
     "curation_pipeline": q_curation_pipeline,
+    "repetition_metrics": q_repetition_metrics,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
@@ -505,4 +581,6 @@ ORACLES = {
     "tfidf_terms": SQL_TFIDF_TERMS,
     "chunk_tokens": SQL_CHUNK_TOKENS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "repetition_metrics": SQL_REPETITION_METRICS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 }

@@ -441,6 +441,66 @@ GROUP BY CUBE(method, protocol)
 """
 
 
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top 3 parts by retail price per brand) — the
+    grouped-limit shape. row_number + filter plans as a partial
+    TOP-K sort per partition under AQE, never a global sort; the
+    partkey tiebreak makes equal-price groups deterministic."""
+    from pyspark.sql import Window
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SQL_TOP_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT p_brand, p_partkey,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+) WHERE rk <= 3
+"""
+
+
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within order priority — the rank-based
+    window pair (deterministic under ties, unlike row_number without a
+    tiebreak). Ranks are computed over the FULL partition, then a
+    key-sampled slice is emitted so the oracle hash stays small."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey", "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter("pmod(o_orderkey, 97) = 0")
+    )
+
+
+SQL_ORDER_PRICE_PERCENTILES = """
+SELECT o_orderkey, o_orderpriority, pct_rank, cume FROM (
+  SELECT o_orderkey, o_orderpriority,
+         round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice), 6) AS pct_rank,
+         round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice), 6) AS cume
+  FROM orders
+) WHERE o_orderkey % 97 = 0
+"""
+
+
 QUERIES = {
     "last_event_per_user": q_last_event_per_user,
     "asof_last_order": q_asof_last_order,
@@ -453,6 +513,8 @@ QUERIES = {
     "value_quartiles": q_value_quartiles,
     "rolling_user_activity": q_rolling_user_activity,
     "cube_counts": q_cube_counts,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "order_price_percentiles": q_order_price_percentiles,
 }
 
 ORACLES = {
@@ -467,4 +529,6 @@ ORACLES = {
     "value_quartiles": SQL_VALUE_QUARTILES,
     "rolling_user_activity": SQL_ROLLING_USER_ACTIVITY,
     "cube_counts": SQL_CUBE_COUNTS,
+    "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
+    "order_price_percentiles": SQL_ORDER_PRICE_PERCENTILES,
 }

@@ -1,0 +1,61 @@
+"""HLL distinct-sketch tests: accuracy band vs exact, merge-equals-
+whole (the property that makes incremental refresh correct), and
+determinism across partitionings."""
+
+from pyspark.sql import functions as F
+
+from redeye_spark.operators.sketches import (
+    distinct_estimate, distinct_sketches, merge_sketches,
+)
+
+
+def _events(spark, n=20000):
+    return spark.range(n).select(
+        (F.col("id") % 7).alias("g"),
+        F.concat(F.lit("u"), (F.col("id") * 2654435761 % 3000)).alias("v"),
+    )
+
+
+class TestHllSketches:
+    def test_estimate_within_error_band(self, spark):
+        df = _events(spark)
+        exact = {r["g"]: r["n"] for r in
+                 df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+        est = {r["g"]: r["n_distinct"] for r in
+               distinct_estimate(df, "v", ["g"]).collect()}
+        for g, n in exact.items():
+            assert abs(est[g] - n) <= max(3, 0.05 * n), (g, n, est[g])
+
+    def test_merged_chunks_match_whole_within_band(self, spark):
+        """The incremental-refresh contract: sketch per chunk, union of
+        chunk sketches estimates the same cardinality as sketching the
+        whole. NOT bit-for-bit — DataSketches HLL unions transition
+        sparse->dense at merge-order-dependent points, so the estimate
+        may move by a fraction of a percent; the band pins that drift."""
+        df = _events(spark)
+        whole = {r["g"]: r["n_distinct"] for r in
+                 distinct_estimate(df, "v", ["g"]).collect()}
+        chunks = [
+            distinct_sketches(df.filter(F.col("id") % 3 == i), "v", ["g"])
+            for i in range(3)
+        ]
+        all_sketches = chunks[0].unionByName(chunks[1]).unionByName(chunks[2])
+        merged = {r["g"]: r["n_distinct"] for r in
+                  merge_sketches(all_sketches, ["g"]).collect()}
+        for g, n in whole.items():
+            assert abs(merged[g] - n) <= max(3, 0.02 * n), (g, n, merged[g])
+
+    def test_partitioning_drift_bounded(self, spark):
+        df = _events(spark)
+        a = {r["g"]: r["n_distinct"] for r in
+             distinct_estimate(df.repartition(32), "v", ["g"]).collect()}
+        b = {r["g"]: r["n_distinct"] for r in
+             distinct_estimate(df.coalesce(1), "v", ["g"]).collect()}
+        for g, n in b.items():
+            assert abs(a[g] - n) <= max(3, 0.02 * n), (g, n, a[g])
+
+    def test_global_ungrouped(self, spark):
+        df = _events(spark)
+        est = distinct_estimate(df, "v").collect()[0]["n_distinct"]
+        exact = df.select("v").distinct().count()
+        assert abs(est - exact) <= 0.05 * exact

@@ -83,7 +83,10 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from redeye_spark.session import get_spark
 
-    spark = get_spark()
+    spark = get_spark(
+        "validate",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
