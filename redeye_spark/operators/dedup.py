@@ -242,19 +242,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    # Skew guardrail: drop pathological buckets. A count() WINDOW over
-    # (band_idx, band_hash) instead of a groupBy + self-join: the window
-    # shares ONE exchange with the pair self-join below (ReusedExchange),
-    # so the signature mapInPandas pass runs once — the join formulation
-    # recomputed signatures for the size aggregate and for each join side
-    # (3-4 scans of the most expensive stage, at any corpus size).
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_idx", "band_hash")
-    banded = (
-        banded.withColumn("_bs", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bs") <= max_bucket)
-        .drop("_bs")
+    # Skew guardrail: drop pathological buckets via a PARTIAL-AGGREGATED
+    # groupBy + join. Deliberately NOT a count() window: WindowExec must
+    # buffer each (band_idx, band_hash) partition on one task before the
+    # filter can drop it, so the guardrail itself would pay the
+    # O(|bucket|) single-task cost it exists to prevent on exactly the
+    # degenerate buckets (half the corpus empty/boilerplate) it guards
+    # against. The groupBy collapses those buckets map-side to one row
+    # per input partition, and the skewed probe side of the join is a
+    # plain shuffle AQE can split; the l/r pair self-join below shares
+    # its exchange at runtime (AQE ReusedExchange), so signatures run
+    # twice, never per-branch.
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bs")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("_bs") <= max_bucket).drop("_bs"),
+        on=["band_idx", "band_hash"],
+        how="inner",
     )
     l = banded.select(
         F.col("band_idx"), F.col("band_hash"),

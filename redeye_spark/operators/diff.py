@@ -56,6 +56,22 @@ def snapshot_diff(
         operator.or_, [F.col(c).isNull() for c in key_cols]
     )
 
+    def guarded_key(c: str, side: str):
+        # NULL-key refusal must hold on EVERY path, including
+        # check_unique=False (NULL keys never equi-join, so an unchanged
+        # NULL-keyed row would silently diff as insert+delete). This
+        # guard is a runtime expression INSIDE the key projection, so
+        # plan construction stays lazy and the check costs nothing
+        # beyond the scan.
+        return (
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .otherwise(F.raise_error(F.lit(
+                f"snapshot_diff: NULL key in {c!r} ({side} snapshot) — "
+                "keys must be non-NULL"
+            )))
+            .alias(c)
+        )
+
     def digest(df: DataFrame, side: str) -> DataFrame:
         # xxhash64 SKIPS null inputs (the seed passes through), so
         # hashing values alone would let ('x', NULL) collide with
@@ -65,26 +81,21 @@ def snapshot_diff(
             F.col(c).isNull() for c in compare_cols
         ]
         d = df.select(
-            *key_cols,
+            *[guarded_key(c, side) for c in key_cols],
             F.xxhash64(*hash_inputs).alias(f"_h_{side}")
             if compare_cols else F.lit(0).alias(f"_h_{side}"),
         )
         if check_unique:
-            # one aggregate rides the same shuffle as the join; a dup key
-            # would make the diff ambiguous (which version is "the" row?)
+            # a dup key would make the diff ambiguous (which version is
+            # "the" row?); NULL keys are covered by the runtime guard on
+            # every path, so this probe only checks uniqueness
             dup = (
-                d.filter(null_key)
-                .limit(1)
-                .unionByName(
-                    d.groupBy(*key_cols).count().filter("count > 1")
-                    .limit(1).drop("count").withColumn(f"_h_{side}", F.lit(0))
-                )
-                .limit(1)
+                d.groupBy(*key_cols).count().filter("count > 1").limit(1)
             )
             if dup.count() > 0:
                 raise ValueError(
-                    f"{side} snapshot has NULL or duplicate keys on "
-                    f"{key_cols} — snapshot_diff needs unique non-NULL keys"
+                    f"{side} snapshot has duplicate keys on {key_cols} — "
+                    "snapshot_diff needs unique non-NULL keys"
                 )
         return d
 

@@ -156,8 +156,22 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     if bpp == 8:
         n_colors = u(46, 50) or 256
         pal_off = 14 + dib_size
-        palette = b[pal_off : pal_off + n_colors * 4].reshape(-1, 4)[:, :3]
-        px = palette[rows.reshape(-1)].reshape(-1)  # indices -> BGR bytes
+        pal_bytes = b[pal_off : pal_off + n_colors * 4]
+        if pal_bytes.size < n_colors * 4:
+            raise ValueError(
+                f"truncated BMP palette: {pal_bytes.size} bytes < "
+                f"{n_colors * 4} for {n_colors} colors"
+            )
+        palette = pal_bytes.reshape(-1, 4)[:, :3]
+        idx = rows.reshape(-1)
+        if idx.size and int(idx.max()) >= n_colors:
+            # out-of-range index is corrupt data, not a missing codec —
+            # classify it like every other malformed-payload case
+            raise ValueError(
+                f"corrupt BMP: pixel index {int(idx.max())} >= palette "
+                f"size {n_colors}"
+            )
+        px = palette[idx].reshape(-1)  # indices -> BGR bytes
     else:
         px = rows.reshape(-1)
     hist = np.bincount(px >> 5, minlength=8).astype(np.float64)

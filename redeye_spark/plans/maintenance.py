@@ -110,8 +110,19 @@ def _maintenance_lock(io: ParquetIO, table: str):
                     f"(lock {lock_path}) — maintenance ops must not run "
                     "concurrently on one table"
                 )
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(lock_path)  # stale: owner is gone
+            # Steal ATOMICALLY via rename: a bare unlink would race — two
+            # stealers both classify the lock stale, the slower unlink
+            # then deletes the faster one's freshly ACQUIRED lock and
+            # both proceed. rename succeeds for exactly one process; the
+            # losers fall through to the O_EXCL retry and lose cleanly.
+            stale = f"{lock_path}.stale.{os.getpid()}"
+            try:
+                os.rename(lock_path, stale)
+            except FileNotFoundError:
+                pass  # someone else stole it first; retry the create
+            else:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(stale)
     else:
         raise RuntimeError(f"could not acquire maintenance lock {lock_path}")
     try:
@@ -307,11 +318,6 @@ def upsert_table(
             f"columns {key_cols}: a key that moves partitions would leave "
             "a stale duplicate behind"
         )
-    # same crash-window recovery as compact_table: a kill between the
-    # two swap renames parks the table at __precompact — without this,
-    # a re-run would see "no table" and create one holding ONLY the
-    # updates, silently dropping every pre-existing row
-    _recover_parked_table(io, table)
     # NULL keys never equi-join: a NULL-keyed update would APPEND next
     # to the row it meant to replace, and a NULL partition value would
     # make dynamic overwrite REPLACE that partition while the semi-join
@@ -350,6 +356,11 @@ def upsert_table(
     updates = updates.persist()
     try:
         with _maintenance_lock(io, table):
+            # crash-window recovery (kill between the two swap renames
+            # parks the table at __precompact) must run INSIDE the lock:
+            # outside it, this would "recover" another process's
+            # in-flight swap mid-rename and wreck both operations
+            _recover_parked_table(io, table)
             return _apply_upsert(
                 spark, io, table, updates, key_cols, partition_by,
                 max_touched_partitions,
@@ -423,6 +434,22 @@ def expire_partitions(
     never in `dropped` — scheduled retention jobs must log the truth."""
     if (keep_values is None) == (drop_values is None):
         raise ValueError("pass exactly one of keep_values / drop_values")
+    with _maintenance_lock(io, table):
+        return _expire_locked(io, table, partition_col, keep_values, drop_values)
+
+
+def _expire_locked(
+    io: ParquetIO,
+    table: str,
+    partition_col: str,
+    keep_values: list[str] | None,
+    drop_values: list[str] | None,
+) -> dict:
+    # under the same per-table lock as compact/upsert/delete: an
+    # unlocked retention drop racing a locked compact would be silently
+    # UNDONE when the compact swaps in its rewrite built from the
+    # pre-drop read — the retention job would log success while the
+    # expired data came back
     root = io.location(table)
     dirs = _partition_dirs(root, partition_col)
     if not dirs:
@@ -542,14 +569,20 @@ def _apply_delete(
             if d is not None:
                 shutil.rmtree(os.path.join(io.location(table), d),
                               ignore_errors=True)
-        # read-back proof of erasure over the touched slice only
-        survivors = (
-            io.read(spark, table)
-            .join(F.broadcast(touched), [pcol], "left_semi")
-            .join(keys, key_cols, "left_semi")
-            .limit(1)
-            .count()
-        )
+        # read-back proof of erasure over the touched slice only; a
+        # delete that emptied EVERY partition leaves no data files, and
+        # reading an empty directory is a schema-inference error, not a
+        # survivor — that case is proven erased by the empty listing
+        if table_file_stats(io, table)[0] == 0:
+            survivors = 0
+        else:
+            survivors = (
+                io.read(spark, table)
+                .join(F.broadcast(touched), [pcol], "left_semi")
+                .join(keys, key_cols, "left_semi")
+                .limit(1)
+                .count()
+            )
         if survivors:
             raise RuntimeError(
                 f"delete_keys on {table!r}: deleted keys still present "

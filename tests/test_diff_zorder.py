@@ -34,13 +34,21 @@ class TestSnapshotDiff:
         assert snapshot_diff(old, new, ["k"]).count() == 0
 
     def test_duplicate_and_null_keys_refused(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
         old = spark.createDataFrame([(1, 10), (1, 11)], "k long, v long")
         new = spark.createDataFrame([(1, 10)], "k long, v long")
-        with pytest.raises(ValueError, match="unique non-NULL keys"):
+        with pytest.raises(ValueError, match="duplicate keys"):
             snapshot_diff(old, new, ["k"]).collect()
+        # NULL keys raise at RUNTIME on every path — including
+        # check_unique=False, where the r5 review found the refusal was
+        # silently disabled (NULL keys never equi-join: an unchanged
+        # NULL-keyed row would diff as a spurious insert+delete pair)
         old2 = spark.createDataFrame([(None, 10)], "k string, v long")
-        with pytest.raises(ValueError, match="unique non-NULL keys"):
-            snapshot_diff(old2, old2, ["k"]).collect()
+        with pytest.raises((PySparkException, Py4JJavaError),
+                           match="NULL key"):
+            snapshot_diff(old2, old2, ["k"], check_unique=False).collect()
 
     def test_compare_cols_subset(self, spark):
         old = spark.createDataFrame([(1, 10, "meta1")], "k long, v long, m string")

@@ -458,3 +458,22 @@ class TestMaintenanceLock:
         st = compact_table(spark, io, "t", min_files_to_compact=1)
         assert st["rewritten"] is True
         assert not os.path.exists(lock)  # released on exit
+
+    def test_delete_emptying_whole_table_succeeds(self, spark, tmp_path):
+        """r5 review: deleting EVERY row (all partitions emptied) must
+        report success, not crash the read-back verifier on an empty
+        directory's schema inference."""
+        from redeye_spark.plans.maintenance import delete_keys
+        from redeye_spark.sources.io import ParquetIO
+
+        io = ParquetIO(str(tmp_path))
+        io.write(spark.createDataFrame(
+            [("d1", 1, "a"), ("d1", 2, "b")], "p string, k long, v string"),
+            "t", partition_by=["p"])
+        st = delete_keys(spark, io, "t",
+                         spark.createDataFrame([("d1", 1), ("d1", 2)],
+                                               "p string, k long"),
+                         key_cols=["p", "k"], partition_by=["p"])
+        assert st["scope"] == "partitions"
+        import os
+        assert not os.path.isdir(io.location("t") + "/p=d1")

@@ -870,3 +870,26 @@ class TestIvfIndex:
         ca = similarity.load_ivf_centroids(spark, a)
         cb = similarity.load_ivf_centroids(spark, b)
         assert np.array_equal(ca, cb)
+
+
+class TestBmpCorruption:
+    def test_truncated_palette_and_bad_index_classified(self):
+        import struct
+        from redeye_spark.operators.multimodal import _decode_bmp
+        import pytest as _pytest
+
+        def bmp8(n_colors, pal_bytes, idx):
+            w = h = 4
+            data = bytes(idx) * 4
+            dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                              len(data), 0, 0, n_colors, 0)
+            off = 14 + 40 + len(pal_bytes)
+            hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+            return hdr + dib + pal_bytes + data
+
+        # palette declares 8 colors but carries only 2 entries
+        with _pytest.raises(ValueError, match="truncated BMP palette"):
+            _decode_bmp(bmp8(8, b"\x00" * 8, [0, 1, 0, 1]))
+        # pixel index beyond the palette
+        with _pytest.raises(ValueError, match="pixel index"):
+            _decode_bmp(bmp8(2, b"\x00" * 8, [0, 1, 0, 5]))
