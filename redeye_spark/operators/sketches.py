@@ -1,5 +1,7 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL via
-Spark's built-in hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+"""Mergeable distinct-count sketches: approximate (Apache DataSketches
+HLL via Spark's built-in hll_sketch_agg / hll_union_agg /
+hll_sketch_estimate) and EXACT (dense-bitmap partials via
+bitmap_construct_agg / bitmap_or_agg / bitmap_count).
 
 The 100 TB distinct-count path: exact count(DISTINCT x) buffers every
 value per group; the HLL sketch is O(2^lgK) bytes per group regardless
@@ -69,3 +71,76 @@ def distinct_estimate(
         F.hll_sketch_agg(F.col(value_col), F.lit(lg_k))
     ).alias("n_distinct")
     return df.groupBy(*groups).agg(est) if groups else df.agg(est)
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable distinct counting over integer keys: dense bitmaps.
+#
+# The HLL path above trades ~1.6% error for O(4 KB)/group state. When the
+# key domain is integers (user ids, order keys), Spark's bitmap family
+# gives the same persist-partials-then-merge operational shape with EXACT
+# answers: bitmap_bucket_number(v) selects a 32768-bit bucket,
+# bitmap_bit_position(v) a bit inside it, bitmap_construct_agg ORs the
+# bits, bitmap_or_agg merges previously-built bitmaps, bitmap_count pops
+# them. State is 4 KB per TOUCHED bucket per group — proportional to the
+# occupied key range, not the row count, and each (group, bucket) partial
+# is independently shuffleable, so one giant group's bitmap build
+# parallelizes across its buckets. Being exact, the result hash-matches
+# count(DISTINCT x) in DuckDB — unlike the HLL estimates, these can be
+# oracled, joined on, and diffed.
+# ---------------------------------------------------------------------------
+
+
+def bitmap_distinct_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    chunk_col: str | None = None,
+) -> DataFrame:
+    """One 4 KB bitmap per (group, chunk, bucket) over value_col — the
+    persistable EXACT partial. chunk_col models independent ingest
+    batches (a daily pipeline stores one partial set per day); pass None
+    for a single-build. value_col must be integral and > 0."""
+    groups = list(group_cols or [])
+    if chunk_col is not None:
+        groups = groups + [chunk_col]
+    v = F.col(value_col)
+    return (
+        df.select(*groups,
+                  F.bitmap_bucket_number(v).alias("_bucket"),
+                  F.bitmap_bit_position(v).alias("_pos"))
+        .groupBy(*groups, "_bucket")
+        .agg(F.bitmap_construct_agg(F.col("_pos")).alias("bitmap"))
+    )
+
+
+def bitmap_merge_distinct(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    bitmap_col: str = "bitmap",
+    bucket_col: str = "_bucket",
+) -> DataFrame:
+    """Merge bitmap partials (across chunks/days) and count: OR per
+    (group, bucket) first — each bucket merge is an independent 4 KB
+    task — then sum popcounts per group. Exact at any scale; the merge
+    never revisits raw rows."""
+    groups = list(group_cols or [])
+    per_bucket = (
+        partials.groupBy(*groups, bucket_col)
+        .agg(F.bitmap_count(F.bitmap_or_agg(F.col(bitmap_col))).alias("_n"))
+    )
+    agg = F.sum("_n").alias("n_distinct")
+    out = per_bucket.groupBy(*groups).agg(agg) if groups else per_bucket.agg(agg)
+    return out
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-shot exact distinct via the bitmap path — the drop-in for
+    count(DISTINCT x) whose shuffle carries 4 KB bitmaps instead of
+    every raw value (wins when values-per-group >> occupied buckets)."""
+    partials = bitmap_distinct_partials(df, value_col, group_cols)
+    return bitmap_merge_distinct(partials, group_cols)

@@ -377,8 +377,47 @@ GROUP BY t
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line/paragraph) dedup — C4/Dolma-style: every
+    5-word span kept only at its globally first occurrence (ordered by
+    (doc_id, span index)); documents rewritten without later
+    occurrences. operators/spans.py for the no-hot-partition plan
+    (keeper = partial-aggregatable min-struct, never a per-span
+    window)."""
+    from ..operators.spans import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (span_dedup(docs, "text", "doc_id", span_words=5)
+            .withColumn("n_kept", F.col("n_kept").cast("bigint"))
+            .withColumn("n_dropped", F.col("n_dropped").cast("bigint")))
+
+
+SQL_SPAN_DEDUP = """
+WITH segs AS (
+  SELECT doc_id, i - 1 AS seg_idx,
+         array_to_string(words[(i-1)*5+1:i*5], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       LATERAL (SELECT unnest(generate_series(
+                  1, CAST(ceil(len(words)/5.0) AS INT))) AS i)
+), marked AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) = 1 AS keep
+  FROM segs
+)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep) AS clean_text,
+       COUNT(*) FILTER (WHERE keep) AS n_kept,
+       COUNT(*) FILTER (WHERE NOT keep) AS n_dropped
+FROM marked
+GROUP BY doc_id
+HAVING COUNT(*) FILTER (WHERE keep) > 0
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "span_dedup": q_span_dedup,
     "dedup_exact_hashed": q_dedup_exact_hashed,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
@@ -395,6 +434,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "span_dedup": SQL_SPAN_DEDUP,
     "dedup_exact_hashed": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_pairs": SQL_MINHASH_PAIRS,

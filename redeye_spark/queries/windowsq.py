@@ -501,8 +501,36 @@ SELECT o_orderkey, o_orderpriority, pct_rank, cume FROM (
 """
 
 
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct sketch: distinct users per event type via
+    dense-bitmap partials (operators/sketches.py bitmap_* family).
+
+    Deliberately runs the two-step operational shape — partials built
+    independently per ingest chunk (chunk := event_id % 3, a stand-in
+    for daily batches), then bitmap_or_agg-merged WITHOUT revisiting raw
+    rows — so the oracle equality proves partials+merge == one-shot
+    count(DISTINCT). State per (type, chunk, bucket) is a fixed 4 KB
+    bitmap; the merge shuffle carries bitmaps, never raw user ids.
+    Unlike the HLL sketches (pytest-banded, not oracle-able), this path
+    is exact and DuckDB-hashable."""
+    from ..operators.sketches import bitmap_distinct_partials, bitmap_merge_distinct
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("chunk", (F.col("event_id") % 3).cast("int")))
+    partials = bitmap_distinct_partials(
+        ev, "user_id", group_cols=["event_type"], chunk_col="chunk")
+    return bitmap_merge_distinct(partials, group_cols=["event_type"])
+
+
+SQL_BITMAP_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "last_event_per_user": q_last_event_per_user,
+    "bitmap_distinct_users": q_bitmap_distinct_users,
     "asof_last_order": q_asof_last_order,
     "asof_bucketed": q_asof_bucketed,
     "asof_next_order": q_asof_next_order,
@@ -519,6 +547,7 @@ QUERIES = {
 
 ORACLES = {
     "last_event_per_user": SQL_LAST_EVENT_PER_USER,
+    "bitmap_distinct_users": SQL_BITMAP_DISTINCT_USERS,
     "asof_last_order": SQL_ASOF_LAST_ORDER,
     "asof_bucketed": SQL_ASOF_LAST_ORDER,
     "asof_next_order": SQL_ASOF_NEXT_ORDER,
