@@ -430,7 +430,7 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
 # by their own tests; calling them here would re-run minutes of work.
 _EAGER_QUERIES = {
     "stream_counts", "stream_counts_multibatch", "json_roundtrip",
-    "dedup_cc", "dedup_cc_star", "decontaminate_shuffle",
+    "dedup_cc", "dedup_cc_star", "decontaminate_shuffle", "part_rank",
     "ivf_topk_indexed",
     "stream_error_correlation", "stream_dedup", "stream_upsert",
     "stream_sessions",
