@@ -415,69 +415,9 @@ HAVING COUNT(*) FILTER (WHERE keep) > 0
 """
 
 
-def q_part_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-point PageRank (5 iterations, d=0.85) over the undirected
-    part—supplier bipartite graph from distinct lineitem edges.
-
-    Iterative-algorithm coverage with an EXACT oracle: scaled integer
-    arithmetic (operators/graph.py) makes every iteration's rank vector
-    bit-identical across engines and partitionings, so DuckDB states
-    the truth by unrolling the five iterations into chained CTEs — no
-    float tolerance, a full hash match."""
-    from ..operators.graph import pagerank_fixed_point
-
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    half = (li.select((F.col("l_partkey") * 2).alias("src"),
-                      (F.col("l_suppkey") * 2 + 1).alias("dst"))
-            .distinct())
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank_fixed_point(edges, iterations=5)
-    return ranks.select(
-        F.when(F.col("node") % 2 == 0, F.lit("part"))
-        .otherwise(F.lit("supplier")).alias("kind"),
-        F.expr("node div 2").alias("node_key"),
-        F.col("r").alias("pr"),
-    )
-
-
-def _pagerank_oracle(iterations: int = 5,
-                     scale: int = 1_000_000_000) -> str:
-    """Unroll the exact integer PageRank recurrence into chained CTEs."""
-    base = scale - scale * 85 // 100
-    parts = [
-        "WITH e0 AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst"
-        " FROM lineitem),",
-        "ed AS (SELECT src, dst FROM e0"
-        " UNION ALL SELECT dst AS src, src AS dst FROM e0),",
-        "nodes AS (SELECT DISTINCT src AS node FROM ed),",
-        "deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),",
-        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes),",
-    ]
-    for i in range(1, iterations + 1):
-        parts.append(
-            f"r{i} AS (SELECT nodes.node, CAST({base} + (85 * COALESCE(s.c, 0))"
-            " // 100 AS BIGINT) AS r FROM nodes LEFT JOIN ("
-            f"SELECT ed.dst AS node, SUM(r.r // deg.d) AS c FROM ed"
-            f" JOIN r{i-1} r ON r.node = ed.src"
-            " JOIN deg ON deg.node = ed.src GROUP BY ed.dst) s"
-            " ON s.node = nodes.node),"
-        )
-    parts[-1] = parts[-1].rstrip(",")
-    parts.append(
-        "SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,"
-        f" node // 2 AS node_key, r AS pr FROM r{iterations}"
-    )
-    return "\n".join(parts)
-
-
-SQL_PART_RANK = _pagerank_oracle()
-
-
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "span_dedup": q_span_dedup,
-    "part_rank": q_part_rank,
     "dedup_exact_hashed": q_dedup_exact_hashed,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
@@ -495,7 +435,6 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "span_dedup": SQL_SPAN_DEDUP,
-    "part_rank": SQL_PART_RANK,
     "dedup_exact_hashed": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_pairs": SQL_MINHASH_PAIRS,
