@@ -1,0 +1,99 @@
+"""Token-sequence n-gram operators over the pipeline's input shape
+(doc_id, tokens:array<int>, n_tok, source) — BASELINE.json input_hint.
+
+The reference consumes lines; a training-data pipeline ALSO needs
+statistics over the token arrays themselves (vocabulary coverage,
+n-gram frequencies, unigram distributions) before any detokenize. All
+ops here are pure JVM plans: higher-order array functions build the
+n-grams inside whole-stage codegen, and the only shuffle is the final
+partial->final aggregation, which collapses map-side because n-gram key
+cardinality (bytes: <= 256^n with heavy skew toward a few thousand real
+grams) is tiny next to row count. No Python, no UDF, no explode of
+anything wider than the gram stream itself.
+
+Scale notes (100 TB): explode(token n-grams) is a row multiplier of
+~n_tok per doc, but it feeds straight into a partial HashAggregate in
+the same codegen stage, so the shuffle carries only distinct grams per
+task — bytes, not the corpus. For unigram stats the same holds with a
+256-key dictionary. vocab_coverage broadcasts the vocab (an array
+literal for byte vocabs; swap to a broadcast join for real BPE vocabs
+>100k entries, same call shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def ngram_column(tokens: Column, n: int) -> Column:
+    """array<array<int>> of all length-n windows of a token array.
+    Rows shorter than n yield an empty array (not a partial gram)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # sequence(1, 0) DESCENDS in Spark (it never yields an empty range),
+    # so clamp the upper bound to 1 and drop the partial gram a too-short
+    # row produces via a size filter — type-preserving and branch-free
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.slice(tokens, i, n))
+    return F.filter(grams, lambda g: F.size(g) == n)
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    tokens_col: str = "tokens",
+    min_count: int = 1,
+) -> DataFrame:
+    """(gram:array<int>, n_occurrences) — corpus-wide n-gram frequency.
+    min_count prunes the long tail AFTER the aggregate (it's a HAVING,
+    pushed to the final agg, not a separate job)."""
+    grams = df.select(
+        F.explode(ngram_column(F.col(tokens_col), n)).alias("gram")
+    )
+    out = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    if min_count > 1:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    return out
+
+
+def unigram_stats(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    by: str | None = "source",
+) -> DataFrame:
+    """(by?, token, n_occurrences, n_docs) — unigram frequency and
+    document frequency in ONE pass: explode once, count + count_distinct
+    per token (and optional grouping column). The df side rides the same
+    shuffle (Spark plans count_distinct as a two-phase expand over the
+    already-shuffled keys)."""
+    keys = ([by] if by else []) + ["token"]
+    ex = df.select(
+        *([by] if by else []),
+        F.col("doc_id"),
+        F.explode(tokens_col).alias("token"),
+    )
+    return ex.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: list[int],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Append (n_invocab, n_oov): occurrence counts of in-vocabulary vs
+    out-of-vocabulary tokens per row. Pure projection — the vocab rides
+    the plan as a sorted array literal and membership is a binary-ish
+    array_contains inside codegen; zero shuffle, zero Python.
+
+    For BPE-scale vocabs (>~100k ids) build a broadcast join on an
+    exploded (token) key instead; byte and small-subword vocabs are
+    cheaper as a literal."""
+    vlit = F.array(*[F.lit(int(v)) for v in sorted(set(vocab))])
+    inv = F.size(
+        F.filter(F.col(tokens_col), lambda t: F.array_contains(vlit, t))
+    ).cast("long")
+    return df.withColumn("n_invocab", inv).withColumn(
+        "n_oov", (F.size(F.col(tokens_col)).cast("long") - F.col("n_invocab"))
+    )

@@ -107,3 +107,28 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_buckets: Column,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-row Bernoulli with a per-row acceptance rate:
+    keep a row iff its md5 bucket (0..255, keyed by id) falls under
+    `weight_buckets` — an INTEGER cut in [0, 256] computed per row
+    (256 = always keep, 0 = always drop). Quality-weighted corpus
+    downsampling ("keep long documents more often") without rand():
+    membership is a pure function of (seed, id, weight), so it is
+    byte-stable under task retries, repartitioning, and re-runs, and
+    independent rows draw independently.
+
+    The cut is integer ON PURPOSE: callers derive it with integer
+    arithmetic (e.g. least(256, n_chars * 256 / limit) with integer
+    division) so the realized rate is an exact multiple of 1/256 and
+    any SQL engine reproduces membership bit-for-bit — float weights
+    would make the boundary rows engine-dependent. Pure codegen
+    projection + filter; zero shuffle."""
+    b = hash_bucket(F.col(id_col), "wsamp", seed)
+    return df.filter(b < weight_buckets.cast("int"))

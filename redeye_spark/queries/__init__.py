@@ -6,7 +6,10 @@ merges them into the QUERIES/ORACLES dicts consumed by
 constant for tests.
 """
 
-from . import annq, dedupq, graphq, logs, media, streamq, tpch, tpch2, training, windowsq
+from . import (
+    annq, dedupq, eventsq, graphq, logs, media, streamq, tokensq, tpch, tpch2,
+    training, windowsq,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -16,7 +19,8 @@ ORACLES = {}
 # 50-slot window in r3/r4 and never got a driver row, while the
 # logs/TPC-H families have been driver-verified twice running
 # (r4 verdict #2). validate.py covers ALL entries at sf0.1 regardless.
-_MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, logs, tpch, windowsq)
+_MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, eventsq,
+            tokensq, logs, tpch, windowsq)
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
