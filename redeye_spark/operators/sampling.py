@@ -132,3 +132,35 @@ def weighted_sample(
     projection + filter; zero shuffle."""
     b = hash_bucket(F.col(id_col), "wsamp", seed)
     return df.filter(b < weight_buckets.cast("int"))
+
+
+def take_per_group(
+    df: DataFrame,
+    n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic 'N rows per group' sample: rank rows inside each
+    stratum by the md5 of their keyed id and keep the first `n`. The
+    md5 ordering is a uniform random permutation that any engine
+    reproduces exactly (unlike ORDER BY rand()), and ties are
+    impossible because the digest input embeds the unique id. One
+    shuffle (the window partition); per-group state is a single
+    counter, so a billion-row stratum costs the same memory as a
+    thousand-row one."""
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    key = F.concat(
+        F.lit(f"take{seed}:"),
+        F.col(strata_col).cast("string"), F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(F.md5(key))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -333,3 +333,55 @@ def ivf_topk_indexed(
     centroids = load_ivf_centroids(spark, path)
     listed = spark.read.parquet(f"{path}/corpus")
     return _ivf_query(listed, centroids, queries, k, nprobe, id_col, vec_col)
+
+
+def centroid_cells(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """(label, pos, sum_q, n_vecs) — per-label per-dimension EXACT
+    aggregation cells for class centroids: each component is floored
+    onto a 1/quantize grid ONCE per value (floor, not round — no
+    tie-breaking rule to disagree on), then summed as integers, so the
+    result is bit-identical regardless of partitioning, merge order, or
+    engine. The mean is sum_q / n_vecs / quantize, recoverable exactly
+    downstream; keeping the cells integer-valued makes the aggregate
+    mergeable across shards/days (sums add, counts add) the way a
+    float mean is not.
+
+    Plan: posexplode -> partial HashAggregate on (label, pos) — the
+    shuffle carries labels x dims cells, not vectors."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "_x"),
+    )
+    xq = F.floor(F.col("_x").cast("double") * quantize).cast("long")
+    return ex.groupBy("label", "pos").agg(
+        F.sum(xq).alias("sum_q"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """(label, centroid: array<double>) — class centroids assembled from
+    the exact centroid_cells (components in dimension order). The only
+    floating-point step is the final per-cell division, identical for
+    any execution order."""
+    cells = centroid_cells(df, label_col, vec_col, quantize)
+    mean = (F.col("sum_q").cast("double") / F.col("n_vecs") / quantize)
+    return (
+        cells.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", mean.alias("m")))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )

@@ -224,3 +224,82 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         nb.cast("long").alias("n_bigrams"),
         dup_ratio.alias("dup_bigram_ratio"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, score) — top-k documents by Okapi BM25 against a bag of
+    query terms (lowercase whole-word match over \\s+ tokens).
+
+    Two jobs: (1) ONE corpus pass computes N, avgdl, and every term's
+    document frequency as a single row of conditional aggregates
+    (collected — it is one bounded row, len(query_terms) ints); (2) the
+    per-document score is then a pure codegen projection — idf and
+    avgdl are folded in as literals, tf comes from size(filter(words))
+    per term — feeding TakeOrderedAndProject for the top-k. No join, no
+    shuffle beyond the final k-row merge, and the expensive pass is
+    partial-aggregated map-side.
+
+    Scoring uses the standard smoothed idf
+    ln((N - df + 0.5) / (df + 0.5) + 1) — nonnegative for any df — and
+    deterministic doc_id tie-breaks. Terms are matched exactly
+    (case-folded); stemming/analysis belongs upstream."""
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = [t.lower() for t in query_terms]
+    ws = ws_tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), ws.alias("_ws")).withColumn(
+        "_dl", F.size("_ws")
+    )
+    # pass 1: corpus stats (one row)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_dl").alias("total_len"),
+        *[
+            F.sum(
+                F.when(F.array_contains("_ws", t), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    n_docs = stats["n_docs"]
+    if n_docs == 0:
+        return df.sparkSession.createDataFrame([], f"{id_col} string, score double")
+    avgdl = stats["total_len"] / n_docs
+    import math
+
+    idf = [
+        math.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+    # pass 2: score as a fixed-order sum of per-term contributions so
+    # the IEEE sequence is reproducible by any engine writing the same
+    # expression shape
+    def _eq_term(term):
+        # one-arg closure ON PURPOSE: a `lambda w, t=t:` default would
+        # make the lambda 2-ary and F.filter would feed the array INDEX
+        # into the second slot
+        return lambda w: w == F.lit(term)
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter("_ws", _eq_term(t))).cast("double")
+        contrib = F.lit(idf[i]) * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * (F.col("_dl").cast("double") / F.lit(avgdl))))
+        )
+        score = score + contrib
+    return (
+        base.select(F.col(id_col), score.alias("_score"))
+        .filter(F.col("_score") > 0.0)
+        .orderBy(F.desc("_score"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_score", 4).alias("score"))
+    )

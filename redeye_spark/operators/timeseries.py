@@ -57,3 +57,65 @@ def resample_ffill(
             .select("key", "bucket",
                     F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
                     F.coalesce("n_events", F.lit(0)).alias("n_events")))
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    window_s: int = 21600,
+    threshold: float = 3.0,
+    min_window: int = 5,
+    quantize: int = 100,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection with EXACT integer
+    arithmetic: flag events whose value deviates from the trailing
+    `window_s`-second window's mean by more than `threshold` population
+    standard deviations.
+
+    The z-test is algebraically cleared of divisions and square roots:
+        (x - mu)^2 > t^2 * sigma^2
+        <=> (n*x - S)^2 > t^2 * (n*Q - S^2)
+    with S = sum(x), Q = sum(x^2) over the window, all computed on
+    quantized integers (value * quantize, rounded once per row). Both
+    sides of the inequality are BIGINT products of window sums, so the
+    flag is bit-identical in any engine — no float accumulation order,
+    no sqrt, no epsilon. threshold is folded in as an exact rational
+    t2n/t2d (t^2 in lowest terms — thresholds like 2, 2.5, 3 give tiny
+    denominators, preserving int64 headroom: the products are bounded
+    by (n*max|x_q|)^2 * t2d).
+
+    Scale: one Window per key over an integer epoch-second RANGE frame
+    (running frame, no per-row list materialization). min_window
+    suppresses flags until the window holds enough points for a
+    meaningful deviation estimate."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    t2 = Fraction(Decimal(str(threshold))) ** 2
+    t2n, t2d = t2.numerator, t2.denominator
+    xq = F.round(F.col(val_col).cast("double") * quantize).cast("long")
+    base = df.withColumn("_xq", xq).withColumn(
+        "_es", F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_es")
+        .rangeBetween(-window_s, 0)
+    )
+    # window expressions must be projected before the filter (Spark
+    # rejects window functions inside WHERE)
+    wins = (
+        base.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum("_xq").over(w))
+        .withColumn("_q", F.sum(F.col("_xq") * F.col("_xq")).over(w))
+    )
+    dev = F.col("_n") * F.col("_xq") - F.col("_s")
+    lhs = dev * dev * F.lit(t2d)
+    rhs = F.lit(t2n) * (F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s"))
+    return (
+        wins.filter((F.col("_n") >= min_window) & (lhs > rhs))
+        .drop("_xq", "_es", "_s", "_q")
+        .withColumnRenamed("_n", "n_window")
+    )

@@ -7,8 +7,8 @@ constant for tests.
 """
 
 from . import (
-    annq, dedupq, eventsq, graphq, logs, media, streamq, tokensq, tpch, tpch2,
-    training, windowsq,
+    annq, dedupq, eventsq, graphq, logs, media, searchq, streamq, tokensq,
+    tpch, tpch2, training, windowsq,
 )
 
 QUERIES = {}
@@ -20,7 +20,7 @@ ORACLES = {}
 # logs/TPC-H families have been driver-verified twice running
 # (r4 verdict #2). validate.py covers ALL entries at sf0.1 regardless.
 _MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, eventsq,
-            tokensq, logs, tpch, windowsq)
+            tokensq, searchq, logs, tpch, windowsq)
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

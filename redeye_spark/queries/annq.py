@@ -209,11 +209,42 @@ FROM t
 """
 
 
+
+def q_label_centroid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension EXACT centroid aggregation cells
+    (posexplode -> partial agg on (label, pos)): components floored
+    onto a 1e-6 grid once per value, then integer-summed — mergeable
+    across shards and bit-identical under any partitioning. The mean
+    is sum_q / n_vecs / 1e6, recovered downstream; keeping the query
+    output integer makes the oracle equality exact rather than
+    float-rounded."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.centroid_cells(emb).select(
+        "label", "pos", "sum_q", "n_vecs"
+    )
+
+
+SQL_LABEL_CENTROID_CELLS = """
+WITH ex AS (
+  SELECT label,
+         unnest(list_transform(embedding, (x, i) -> i - 1)) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS xq
+  FROM embeddings
+)
+SELECT label, pos, CAST(sum(xq) AS BIGINT) AS sum_q, count(*) AS n_vecs
+FROM ex GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_indexed": q_ivf_topk_indexed,
     "embedding_stats": q_embedding_stats,
+    "label_centroid_cells": q_label_centroid_cells,
 }
 
 ORACLES = {
@@ -221,4 +252,5 @@ ORACLES = {
     "ivf_topk": SQL_IVF_TOPK,
     "ivf_topk_indexed": SQL_IVF_TOPK,
     "embedding_stats": SQL_EMBEDDING_STATS,
+    "label_centroid_cells": SQL_LABEL_CENTROID_CELLS,
 }

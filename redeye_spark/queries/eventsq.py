@@ -170,12 +170,54 @@ WHERE (strpos('0123456789abcdef', substr(md5('wsamp42:' || CAST(doc_id AS VARCHA
 """
 
 
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly detection with EXACT integer
+    arithmetic: events whose value deviates > 2.5 population sigmas
+    from the trailing 72 h window (>= 8 points). The z-test is cleared
+    of division/sqrt — (n*x - S)^2 * 4 > 25 * (n*Q - S^2) on quantized
+    cents — so the flag set is bit-identical in any engine."""
+    from ..operators import timeseries as ts_op
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ts_op.rolling_anomalies(
+        ev, key_col="user_id", ts_col="ts", val_col="value",
+        window_s=259200, threshold=2.5, min_window=8,
+    )
+    return out.select("event_id", "user_id", "n_window")
+
+
+SQL_ROLLING_ANOMALY = """
+WITH q AS (
+  SELECT event_id, user_id,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS xq,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, xq,
+         COUNT(*)        OVER win AS n,
+         SUM(xq)         OVER win AS s,
+         SUM(xq * xq)    OVER win AS qq
+  FROM q
+  WINDOW win AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n AS n_window
+FROM w
+WHERE n >= 8
+  AND (n * xq - s) * (n * xq - s) * 4 > 25 * (n * qq - s * s)
+"""
+
+
 QUERIES = {
     "funnel_counts": q_funnel_counts,
     "retention_cohorts": q_retention_cohorts,
     "error_bursts": q_error_bursts,
     "lpm_enrich": q_lpm_enrich,
     "weighted_sample": q_weighted_sample,
+    "rolling_anomaly": q_rolling_anomaly,
 }
 
 ORACLES = {
@@ -184,4 +226,5 @@ ORACLES = {
     "error_bursts": SQL_ERROR_BURSTS,
     "lpm_enrich": SQL_LPM_ENRICH,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "rolling_anomaly": SQL_ROLLING_ANOMALY,
 }

@@ -122,14 +122,92 @@ FROM t
 """
 
 
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of the frequent token bigrams
+    (count >= 200): PMI = log2(P(xy) / (P(x) P(y))) with P(xy) over
+    the bigram-position universe and P(x) over the unigram universe.
+    Counts and totals are exact integers (totals are two bounded
+    scalars collected once); the only floating step is one
+    fixed-shape ratio + log2 per output row, rounded to 4 dp, written
+    with identical expression order in the oracle. The unigram side
+    (<= 256 byte keys) broadcasts into both join probes."""
+    from ..operators import ngrams
+
+    _utc(spark)
+    raw = _raw(spark, sf_dir)
+    tot = raw.agg(
+        F.sum("n_tok").alias("tu"),
+        F.sum(F.greatest(F.col("n_tok") - 1, F.lit(0))).alias("tb"),
+    ).collect()[0]
+    tu, tb = float(tot["tu"]), float(tot["tb"])
+    bi = ngrams.ngram_counts(raw, n=2, min_count=200).select(
+        F.element_at("gram", 1).cast("long").alias("t1"),
+        F.element_at("gram", 2).cast("long").alias("t2"),
+        F.col("n_occurrences").alias("c_xy"),
+    )
+    uni = ngrams.ngram_counts(raw, n=1).select(
+        F.element_at("gram", 1).cast("long").alias("t"),
+        F.col("n_occurrences").alias("c"),
+    )
+    # two probes against the SAME unigram frame: re-alias each side so
+    # the join conditions bind unambiguously (shared expression IDs
+    # from a self-reused frame otherwise resolve to either copy)
+    ux = uni.select(F.col("t").alias("tx"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("t").alias("ty"), F.col("c").alias("c_y"))
+    joined = (
+        bi.join(F.broadcast(ux), F.col("t1") == F.col("tx"))
+        .join(F.broadcast(uy), F.col("t2") == F.col("ty"))
+        .drop("tx", "ty")
+    )
+    pmi = F.log2(
+        (F.col("c_xy").cast("double") * F.lit(tu) * F.lit(tu))
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double") * F.lit(tb))
+    )
+    return joined.select("t1", "t2", "c_xy", F.round(pmi, 4).alias("pmi"))
+
+
+SQL_BIGRAM_PMI = f"""
+WITH {_duck_lines()},
+tot AS (
+  SELECT CAST(sum(length(line)) AS DOUBLE) AS tu,
+         CAST(sum(CASE WHEN length(line) >= 2 THEN length(line) - 1 ELSE 0 END) AS DOUBLE) AS tb
+  FROM lines
+),
+grams AS (
+  SELECT unnest(list_transform(range(length(line) - 1),
+                i -> [ord(line[i+1]), ord(line[i+2])])) AS g
+  FROM lines WHERE length(line) >= 2
+),
+bi AS (
+  SELECT CAST(g[1] AS BIGINT) t1, CAST(g[2] AS BIGINT) t2, count(*) c_xy
+  FROM grams GROUP BY 1, 2 HAVING count(*) >= 200
+),
+toks AS (
+  SELECT unnest(list_transform(range(length(line)), i -> ord(line[i+1]))) AS t
+  FROM lines
+),
+uni AS (SELECT CAST(t AS BIGINT) t, count(*) c FROM toks GROUP BY 1)
+SELECT bi.t1, bi.t2, bi.c_xy,
+       round(log2((CAST(bi.c_xy AS DOUBLE) * tot.tu * tot.tu)
+                  / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE) * tot.tb)), 4) AS pmi
+FROM bi
+JOIN uni ux ON ux.t = bi.t1
+JOIN uni uy ON uy.t = bi.t2
+CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "token_bigrams": q_token_bigrams,
     "unigram_stats": q_unigram_stats,
     "vocab_coverage": q_vocab_coverage,
+    "bigram_pmi": q_bigram_pmi,
 }
 
 ORACLES = {
     "token_bigrams": SQL_TOKEN_BIGRAMS,
     "unigram_stats": SQL_UNIGRAM_STATS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "bigram_pmi": SQL_BIGRAM_PMI,
 }
