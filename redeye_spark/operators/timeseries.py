@@ -31,19 +31,27 @@ def resample_ffill(
     val_col: str,
     step_seconds: int = 3600,
     max_buckets: int = 1_000_000,
+    agg_fn=None,
 ) -> DataFrame:
     """Returns (key, bucket, value_ffill, n_events): one row per key per
     step between that key's first and last event bucket; empty buckets
-    carry the most recent bucket's aggregate (AVG) forward and report
-    n_events = 0. `bucket` is the bucket start as a timestamp."""
+    carry the most recent bucket's aggregate forward and report
+    n_events = 0. `bucket` is the bucket start as a timestamp.
+
+    `agg_fn` maps the value Column to the per-bucket aggregate
+    (default F.avg). Pass an integer-exact aggregate (e.g.
+    sum of quantized cents) when the result must be bit-identical
+    across engines/partitionings — float AVG depends on summation
+    order in its last bits."""
     step = f"INTERVAL {int(step_seconds)} SECONDS"
     bucket = F.timestamp_seconds(
         (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("bigint")
         * step_seconds)
+    agg_of = agg_fn if agg_fn is not None else F.avg
     agg = (df.select(F.col(key_col).alias("key"), bucket.alias("bucket"),
                      F.col(val_col).alias("v"))
            .groupBy("key", "bucket")
-           .agg(F.avg("v").alias("v"), F.count(F.lit(1)).alias("n_events")))
+           .agg(agg_of(F.col("v")).alias("v"), F.count(F.lit(1)).alias("n_events")))
     span = agg.groupBy("key").agg(F.min("bucket").alias("lo"),
                                   F.max("bucket").alias("hi"))
     capped_hi = F.least(

@@ -211,6 +211,117 @@ WHERE n >= 8
 """
 
 
+
+def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with forward fill (the
+    time_bucket_gapfill shape) for a user subset: per-bucket value is
+    the EXACT integer cent sum (agg_fn override — float AVG would be
+    summation-order-dependent in its last bits), empty buckets carry
+    the last aggregate forward and report n_events = 0."""
+    from ..operators import timeseries as ts_op
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") % 10 == 0
+    )
+    out = ts_op.resample_ffill(
+        ev, key_col="user_id", ts_col="ts", val_col="value",
+        step_seconds=3600,
+        agg_fn=lambda c: F.sum(F.round(c.cast("double") * 100).cast("long")),
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("value_ffill").cast("long").alias("cents_ffill"),
+        "n_events",
+    )
+
+
+SQL_RESAMPLE_1H = """
+WITH e AS (
+  SELECT user_id,
+         to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) AS b,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS xc
+  FROM events WHERE user_id % 10 = 0
+),
+a AS (SELECT user_id, b, CAST(sum(xc) AS BIGINT) v, count(*) n FROM e GROUP BY 1, 2),
+s AS (SELECT user_id, min(b) lo, max(b) hi FROM a GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM s
+)
+SELECT g.user_id,
+       strftime(g.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(last_value(a.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_ffill,
+       coalesce(a.n, 0) AS n_events
+FROM grid g LEFT JOIN a ON a.user_id = g.user_id AND a.b = g.b
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (first-order Markov
+    matrix): LAG over (ts, event_id) inside each user, then a count per
+    (prev_type, next_type) pair — the sequence-mining shape session
+    analysis starts from. One window shuffle + one tiny aggregate."""
+    from pyspark.sql.window import Window
+
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling of the events table — per column:
+    null count and exact distinct count — in ONE aggregation pass (a
+    single row of 2xN aggregates, unpivoted to (column, stat) rows by a
+    stack projection; no per-column scans)."""
+    _utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    one = ev.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+    )
+
+
+SQL_PROFILE_EVENTS = """
+SELECT 'event_id' AS column_name, CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'user_id', CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT props) FROM events
+"""
+
+
 QUERIES = {
     "funnel_counts": q_funnel_counts,
     "retention_cohorts": q_retention_cohorts,
@@ -218,6 +329,9 @@ QUERIES = {
     "lpm_enrich": q_lpm_enrich,
     "weighted_sample": q_weighted_sample,
     "rolling_anomaly": q_rolling_anomaly,
+    "resample_1h": q_resample_1h,
+    "event_transitions": q_event_transitions,
+    "profile_events": q_profile_events,
 }
 
 ORACLES = {
@@ -227,4 +341,7 @@ ORACLES = {
     "lpm_enrich": SQL_LPM_ENRICH,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "rolling_anomaly": SQL_ROLLING_ANOMALY,
+    "resample_1h": SQL_RESAMPLE_1H,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "profile_events": SQL_PROFILE_EVENTS,
 }

@@ -160,3 +160,54 @@ def test_take_per_group_counts_and_determinism(spark):
     assert take_per_group(df, n=100, strata_col="source", id_col="doc_id").count() == 40
     with pytest.raises(ValueError):
         take_per_group(df, n=0)
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 3: resample agg_fn, transitions, profiling
+# ---------------------------------------------------------------------------
+
+def test_resample_ffill_exact_agg(spark):
+    from redeye_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        (1, "2024-01-01T00:10:00", 1.25),
+        (1, "2024-01-01T00:40:00", 2.75),   # same bucket: sums to 400 cents
+        (1, "2024-01-01T03:30:00", 10.0),   # 2-hour gap -> 2 filled buckets
+    ]
+    df = _val_events(spark, rows)
+    out = resample_ffill(
+        df, "user_id", "ts", "value", step_seconds=3600,
+        agg_fn=lambda c: F.sum(F.round(c.cast("double") * 100).cast("long")),
+    ).orderBy("bucket").collect()
+    assert [(str(r["bucket"]), r["value_ffill"], r["n_events"]) for r in out] == [
+        ("2024-01-01 00:00:00", 400, 2),
+        ("2024-01-01 01:00:00", 400, 0),
+        ("2024-01-01 02:00:00", 400, 0),
+        ("2024-01-01 03:00:00", 1000, 1),
+    ]
+
+
+def test_event_transitions_counts(spark):
+    from redeye_spark.queries.eventsq import q_event_transitions
+    import duckdb
+
+    # hand graph via the real query at the smallest sf, pinned against
+    # a direct lag computation in DuckDB
+    sd = "/root/testdata/sf0.001"
+    sp = q_event_transitions(spark, sd).toPandas()
+    total = int(sp["n_transitions"].sum())
+    n_events = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT user_id) FROM read_parquet('{sd}/events.parquet')"
+    ).fetchone()
+    # every event except each user's first contributes one transition
+    assert total == n_events[0] - n_events[1]
+
+
+def test_profile_events_shape(spark):
+    from redeye_spark.queries.eventsq import q_profile_events
+
+    out = {r["column_name"]: (r["n_nulls"], r["n_distinct"])
+           for r in q_profile_events(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert out["event_type"] == (0, 5)
+    assert out["event_id"][1] > 0 and out["event_id"][0] == 0
