@@ -71,6 +71,10 @@ TIMED_QUERIES = [
     "minhash_pairs",
     "similarity_topk",
     "dedup_exact_hashed",
+    # round 5b: the tokens-axis n-gram path (explode -> same-stage
+    # partial agg; a regression in the higher-order-function gram
+    # builder or the map-side collapse shows up here first)
+    "token_bigrams",
 ]
 
 # Pinned per-query baselines: best recorded sf0.1 wall seconds from the
