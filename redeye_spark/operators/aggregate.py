@@ -77,3 +77,46 @@ def hopping_counts(
             "n",
         )
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """(day, n_unique) — EXACT trailing-window distinct count per day
+    (e.g. rolling 7-day unique visitors), for every day in the corpus
+    span.
+
+    Windowed COUNT(DISTINCT) has no native Spark window form and the
+    naive day x day range join shuffles |days| copies of the key
+    stream. This plans it as: distinct (day, key) pairs (one partial-
+    aggregated shuffle of ~|active keys per day| rows), each pair
+    exploded to the `window_days` target days it contributes to (a
+    narrow `sequence`, amplifying the DEDUPLICATED pairs only, never
+    the event stream), then count_distinct per target day. Days with
+    no events still report (they receive contributions from the
+    preceding window); days beyond the corpus end are clipped via a
+    broadcast 1-row bound."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    pairs = df.select(
+        F.to_date(F.col(ts_col)).alias("_day"), F.col(key_col).alias("_key")
+    ).distinct()
+    bounds = pairs.agg(F.max("_day").alias("_max_day"))
+    fanned = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("_day"),
+                F.date_add(F.col("_day"), window_days - 1),
+            )
+        ).alias("day"),
+        "_key",
+    )
+    return (
+        fanned.join(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("_max_day"))
+        .groupBy("day")
+        .agg(F.count_distinct("_key").alias("n_unique"))
+    )

@@ -8,7 +8,7 @@ constant for tests.
 
 from . import (
     annq, dedupq, eventsq, graphq, logs, media, searchq, streamq, tokensq,
-    tpch, tpch2, tpch3, training, windowsq,
+    tpch, tpch2, tpch3, training, urlq, windowsq,
 )
 
 QUERIES = {}
@@ -20,7 +20,7 @@ ORACLES = {}
 # logs/TPC-H families have been driver-verified twice running
 # (r4 verdict #2). validate.py covers ALL entries at sf0.1 regardless.
 _MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, eventsq,
-            tokensq, searchq, tpch3, logs, tpch, windowsq)
+            tokensq, searchq, tpch3, urlq, logs, tpch, windowsq)
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -234,3 +234,48 @@ def test_weighted_sample_rate_tracks_weight(spark):
     df = spark.createDataFrame([Row(doc_id=i, w=64) for i in range(n)])
     kept = weighted_sample(df, F.col("w")).count()
     assert abs(kept / n - 0.25) < 0.05  # 64/256 nominal
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 5: URL helpers + rolling distinct
+# ---------------------------------------------------------------------------
+
+def test_url_helpers(spark):
+    from redeye_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [("http://www.example.com/a/b?q=1", "/api/v2/item/9"),
+         ("https://x.org/", "/solo"),
+         (None, None),
+         ("-", "///")],
+        "ref string, uri string",
+    )
+    out = df.select(
+        urls.referer_domain(F.col("ref")).alias("dom"),
+        urls.path_segments(F.col("uri")).alias("segs"),
+        urls.path_segment(F.col("uri"), 2).alias("seg2"),
+    ).collect()
+    assert [r["dom"] for r in out] == ["www.example.com", "x.org", None, None]
+    assert [r["segs"] for r in out] == [["api", "v2", "item", "9"], ["solo"], [], []]
+    assert [r["seg2"] for r in out] == ["v2", None, None, None]
+
+
+def test_rolling_distinct_exact(spark):
+    from redeye_spark.operators.aggregate import rolling_distinct
+    import pytest as _pytest
+
+    ev = _events(spark, [
+        (1, "2024-01-01T10:00:00", "view"),
+        (2, "2024-01-01T11:00:00", "view"),
+        (1, "2024-01-02T10:00:00", "view"),   # repeat user next day
+        (3, "2024-01-05T10:00:00", "view"),
+    ])
+    out = {str(r["day"]): r["n_unique"]
+           for r in rolling_distinct(ev, "ts", "user_id", window_days=3).collect()}
+    # day1: {1,2}; day2: {1,2}; day3: {1,2}; day4: {1}; day5: {3}
+    assert out == {
+        "2024-01-01": 2, "2024-01-02": 2, "2024-01-03": 2,
+        "2024-01-04": 1, "2024-01-05": 1,
+    }
+    with _pytest.raises(ValueError):
+        rolling_distinct(ev, "ts", "user_id", window_days=0)
