@@ -239,12 +239,73 @@ FROM ex GROUP BY 1, 2
 """
 
 
+
+def q_embedding_cov_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer covariance moment cells of the embedding corpus
+    (upper triangle): codegen-built per-vector pair cells -> one
+    partial-aggregated (i, j) shuffle of O(d^2) rows. The DuckDB twin
+    rebuilds the identical integer sums, so the second-moment
+    aggregation is hash-verified end to end (the eigensolve consuming
+    these cells is pytest-pinned against numpy instead — not
+    SQL-expressible)."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.covariance_cells(emb).select(
+        "i", "j", "sum_xy_q", "sum_x_q", "sum_y_q", "n"
+    )
+
+
+SQL_EMBEDDING_COV_CELLS = """
+WITH ex AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+cells AS (
+  SELECT t.ii AS i, u.jj AS j, ex.q[t.ii + 1] AS x, ex.q[u.jj + 1] AS y
+  FROM ex
+  CROSS JOIN unnest(range(len(ex.q))) AS t(ii)
+  CROSS JOIN unnest(range(len(ex.q))) AS u(jj)
+  WHERE u.jj >= t.ii
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy_q,
+       CAST(sum(x) AS BIGINT) AS sum_x_q,
+       CAST(sum(y) AS BIGINT) AS sum_y_q,
+       count(*) AS n
+FROM cells GROUP BY 1, 2
+"""
+
+
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal-component projection of the embeddings: exact
+    covariance cells -> driver-side d x d eigensolve (bounded by
+    construction) -> eigenvectors as array literals -> zip_with dot
+    products in codegen. No SQL oracle (eigendecomposition is not
+    SQL-expressible); the operator is pytest-pinned against a numpy
+    reference on hand data, and the driver records the rows-only
+    check."""
+    from ..operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj, _ = similarity.pca_project(emb, k=4)
+    # |pc1|: eigenvector SIGN is solver-arbitrary; magnitude is not
+    return proj.select(
+        "vec_id",
+        F.round(F.abs(F.element_at("pca", 1)), 4).alias("pc1_abs"),
+        F.size("pca").alias("n_components"),
+    )
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_indexed": q_ivf_topk_indexed,
     "embedding_stats": q_embedding_stats,
     "label_centroid_cells": q_label_centroid_cells,
+    "embedding_cov_cells": q_embedding_cov_cells,
+    "pca_projection": q_pca_projection,
 }
 
 ORACLES = {
@@ -253,4 +314,5 @@ ORACLES = {
     "ivf_topk_indexed": SQL_IVF_TOPK,
     "embedding_stats": SQL_EMBEDDING_STATS,
     "label_centroid_cells": SQL_LABEL_CENTROID_CELLS,
+    "embedding_cov_cells": SQL_EMBEDDING_COV_CELLS,
 }

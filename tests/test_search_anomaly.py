@@ -211,3 +211,43 @@ def test_profile_events_shape(spark):
     assert set(out) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
     assert out["event_type"] == (0, 5)
     assert out["event_id"][1] > 0 and out["event_id"][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 6: exact covariance + PCA
+# ---------------------------------------------------------------------------
+
+def test_covariance_cells_exact(spark):
+    from redeye_spark.operators.similarity import covariance_cells
+
+    df = _emb(spark, [(0, [1.0, 2.0]), (0, [3.0, 5.0])])
+    out = {(r["i"], r["j"]): (r["sum_xy_q"], r["sum_x_q"], r["sum_y_q"], r["n"])
+           for r in covariance_cells(df).collect()}
+    q = 1_000_000
+    assert out == {
+        (0, 0): (10 * q * q, 4 * q, 4 * q, 2),
+        (0, 1): (17 * q * q, 4 * q, 7 * q, 2),
+        (1, 1): (29 * q * q, 7 * q, 7 * q, 2),
+    }
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+    from redeye_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 6))
+    df = _emb(spark, [(0, list(map(float, x))) for x in X])
+    proj, evr = pca_project(df, k=2)
+    got = np.array([r["pca"] for r in proj.orderBy("vec_id").collect()])
+    Xc = X - X.mean(0)
+    w, v = np.linalg.eigh(np.cov(X.T, bias=True))
+    order = np.argsort(w)[::-1][:2]
+    ref = Xc @ v[:, order]
+    # eigenvector sign is arbitrary: compare per-column up to sign
+    for c in range(2):
+        assert (np.allclose(got[:, c], ref[:, c], atol=1e-4)
+                or np.allclose(got[:, c], -ref[:, c], atol=1e-4))
+    assert evr[0] >= evr[1] > 0
+    with pytest.raises(ValueError):
+        pca_project(df, k=0)
