@@ -97,3 +97,48 @@ def vocab_coverage(
     return df.withColumn("n_invocab", inv).withColumn(
         "n_oov", (F.size(F.col(tokens_col)).cast("long") - F.col("n_invocab"))
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    by: str = "source",
+) -> DataFrame:
+    """(by, n_tokens, entropy_bits) — Shannon entropy of the token
+    distribution per group, with a DETERMINISTIC float reduction:
+    H = log2(N) - (sum_t c_t*log2(c_t)) / N, where the sum folds over
+    counts in ascending token order (sort_array + F.aggregate), so the
+    IEEE result is identical for any partitioning or engine — a plain
+    SUM() over doubles would not be.
+
+    Counts are exact integers from one explode -> (group, token)
+    partial-aggregated shuffle; the per-group fold touches <= |vocab|
+    terms."""
+    counts = df.select(
+        F.col(by), F.explode(tokens_col).alias("_t")
+    ).groupBy(by, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    per_group = counts.groupBy(by).agg(
+        F.sort_array(F.collect_list(F.struct("_t", "_c"))).alias("_tc")
+    )
+    n = F.aggregate(
+        "_tc", F.lit(0).cast("long"), lambda acc, s: acc + s["_c"]
+    )
+    s = F.aggregate(
+        "_tc",
+        F.lit(0.0),
+        lambda acc, st: acc + st["_c"].cast("double") * F.log2(st["_c"].cast("double")),
+    )
+    return (
+        per_group
+        .withColumn("n_tokens", n)
+        .withColumn("_s", s)
+        .select(
+            by,
+            "n_tokens",
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("_s") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("entropy_bits"),
+        )
+    )

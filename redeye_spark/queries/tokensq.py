@@ -198,11 +198,49 @@ CROSS JOIN tot
 """
 
 
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the byte-token distribution, with
+    a deterministic float reduction: the c*log2(c) terms fold in
+    ascending token order on BOTH engines, so the IEEE sum is
+    bit-identical (a plain SUM() over doubles is summation-order
+    nondeterministic)."""
+    from ..operators import ngrams
+
+    _utc(spark)
+    return ngrams.token_entropy(_raw(spark, sf_dir), by="source").select(
+        "source", "n_tokens", "entropy_bits"
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH {_duck_lines()},
+toks AS (
+  SELECT source,
+         unnest(list_transform(range(length(line)), i -> ord(line[i+1]))) AS t
+  FROM lines
+),
+c AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2),
+g AS (
+  SELECT source,
+         list(CAST(c AS DOUBLE) ORDER BY t) AS cs,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM c GROUP BY source
+)
+SELECT source, n AS n_tokens,
+       round(log2(CAST(n AS DOUBLE))
+             - list_reduce(list_prepend(0.0, list_transform(cs, x -> x * log2(x))),
+                           (a, b) -> a + b) / CAST(n AS DOUBLE), 4) AS entropy_bits
+FROM g
+"""
+
+
 QUERIES = {
     "token_bigrams": q_token_bigrams,
     "unigram_stats": q_unigram_stats,
     "vocab_coverage": q_vocab_coverage,
     "bigram_pmi": q_bigram_pmi,
+    "token_entropy": q_token_entropy,
 }
 
 ORACLES = {
@@ -210,4 +248,5 @@ ORACLES = {
     "unigram_stats": SQL_UNIGRAM_STATS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "bigram_pmi": SQL_BIGRAM_PMI,
+    "token_entropy": SQL_TOKEN_ENTROPY,
 }

@@ -279,3 +279,20 @@ def test_rolling_distinct_exact(spark):
     }
     with _pytest.raises(ValueError):
         rolling_distinct(ev, "ts", "user_id", window_days=0)
+
+
+def test_token_entropy_deterministic(spark):
+    import math
+    from redeye_spark.operators.ngrams import token_entropy
+
+    # uniform over 4 tokens -> exactly 2 bits; single token -> 0 bits
+    df = _toks(spark, [([1, 2, 3, 4], "u"), ([9, 9, 9], "z")])
+    out = {r["source"]: (r["n_tokens"], r["entropy_bits"])
+           for r in token_entropy(df).collect()}
+    assert out["u"] == (4, 2.0)
+    assert out["z"] == (3, 0.0)
+    # skewed: H = log2(4) - (3*log2(3))/4
+    df2 = _toks(spark, [([7, 7, 7, 8], "s")])
+    h = round(math.log2(4) - (3 * math.log2(3)) / 4, 4)
+    [r] = token_entropy(df2).collect()
+    assert (r["n_tokens"], r["entropy_bits"]) == (4, h)
