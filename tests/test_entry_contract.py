@@ -99,10 +99,24 @@ def test_entry_smoke(spark):
     assert df.schema is not None
 
 
+# Queries DECLARED oracle-less: genuinely non-SQL-expressible ops where
+# the driver's rows-only check is the intended (weaker) gate. Every
+# entry here must say why, and its distributed inputs must be oracled
+# separately.
+_NO_ORACLE_DECLARED = {
+    # eigendecomposition is not SQL-expressible; the covariance cells
+    # feeding it ARE hash-oracled (embedding_cov_cells) and the
+    # eigensolve+projection is pytest-pinned against numpy
+    "pca_projection",
+}
+
+
 def test_every_query_carries_an_oracle():
     """Round 3 reached 100% oracle coverage; this pins it — a new
     queries() entry without an oracle_sql() twin (or vice versa) fails
     here instead of silently downgrading to the driver's weak
-    rows-only check."""
+    rows-only check, unless the exception is DECLARED above with a
+    reason."""
     q, o = set(entry_mod.queries()), set(entry_mod.oracle_sql())
-    assert q == o, (sorted(q - o), sorted(o - q))
+    assert q - o == _NO_ORACLE_DECLARED, (sorted(q - o), sorted(o - q))
+    assert not (o - q), sorted(o - q)
