@@ -103,7 +103,7 @@ QUERY_BASELINES_S = {
     "minhash_pairs": 21.5,
     "similarity_topk": 0.59,
     "dedup_exact_hashed": 0.28,
-    "token_bigrams": 7.0,
+    "token_bigrams": 6.29,
 }
 
 
