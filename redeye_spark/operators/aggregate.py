@@ -86,8 +86,11 @@ def rolling_distinct(
     window_days: int = 7,
 ) -> DataFrame:
     """(day, n_unique) — EXACT trailing-window distinct count per day
-    (e.g. rolling 7-day unique visitors), for every day in the corpus
-    span.
+    (e.g. rolling 7-day unique visitors), for every day within
+    `window_days` of an active day (clipped at the corpus max). A day
+    preceded AND followed by >= window_days of silence emits no row —
+    nothing fans into it; zero-filling a full min..max calendar grid is
+    the caller's join, not this operator's contract.
 
     Windowed COUNT(DISTINCT) has no native Spark window form and the
     naive day x day range join shuffles |days| copies of the key

@@ -145,25 +145,29 @@ def _shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(n_sh, out=row_off[1:])
 
     # Polynomial rolling hash of every k-gram in the flat buffer, then a
-    # gather drops the k-grams that straddle row boundaries.
-    if buf.size >= k:
-        h = np.zeros(buf.size - k + 1, dtype=np.uint64)
-        p = np.uint64(1099511628211)
-        for j in range(k):  # k tiny (5-9): k vectorized passes
-            h = h * p + buf[j : buf.size - k + 1 + j].astype(np.uint64)
-    else:
-        h = np.zeros(1, dtype=np.uint64)
+    # gather drops the k-grams that straddle row boundaries. FNV-style
+    # uint64 wraparound is the hash's definition, not an accident —
+    # errstate keeps numpy from logging one RuntimeWarning per executor
+    # task at scale.
+    with np.errstate(over="ignore"):
+        if buf.size >= k:
+            h = np.zeros(buf.size - k + 1, dtype=np.uint64)
+            p = np.uint64(1099511628211)
+            for j in range(k):  # k tiny (5-9): k vectorized passes
+                h = h * p + buf[j : buf.size - k + 1 + j].astype(np.uint64)
+        else:
+            h = np.zeros(1, dtype=np.uint64)
 
-    out = np.empty(int(row_off[-1]), dtype=np.uint64)
-    for i in range(n):  # O(rows) slicing, per-byte work stays vectorized
-        s, e = offs[i], offs[i + 1]
-        if lens[i] >= k:
-            out[row_off[i] : row_off[i + 1]] = h[s : s + lens[i] - k + 1]
-        else:  # short row: hash available bytes as one sentinel shingle
-            acc = np.uint64(14695981039346656037)
-            for bb in buf[s:e]:
-                acc = acc * np.uint64(1099511628211) + np.uint64(bb)
-            out[row_off[i]] = acc
+        out = np.empty(int(row_off[-1]), dtype=np.uint64)
+        for i in range(n):  # O(rows) slicing, per-byte work vectorized
+            s, e = offs[i], offs[i + 1]
+            if lens[i] >= k:
+                out[row_off[i] : row_off[i + 1]] = h[s : s + lens[i] - k + 1]
+            else:  # short row: hash available bytes as one sentinel shingle
+                acc = np.uint64(14695981039346656037)
+                for bb in buf[s:e]:
+                    acc = acc * np.uint64(1099511628211) + np.uint64(bb)
+                out[row_off[i]] = acc
     return out.astype(np.int64), row_off
 
 

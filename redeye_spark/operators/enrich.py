@@ -216,6 +216,20 @@ def lpm_join(
             addr = addr * 256 + v
         bits = addr >> (32 - ln)
         by_len.setdefault(ln, []).append((bits, label))
+    # The per-length equi-join is only amplification-free if each
+    # (length, network) key appears once: two rules on the same network
+    # would duplicate every matching fact row. Collapse benign
+    # duplicates (same label) and reject conflicting ones outright.
+    for ln, pairs in by_len.items():
+        seen: dict[int, str] = {}
+        for bits, label in pairs:
+            if bits in seen and seen[bits] != label:
+                raise ValueError(
+                    f"conflicting LPM rules for the same /{ln} network: "
+                    f"{seen[bits]!r} vs {label!r}"
+                )
+            seen[bits] = label
+        by_len[ln] = list(seen.items())
     spark = df.sparkSession
     ip_num = ipv4_to_long(F.col(ip_col))
     out = df.withColumn("_ipn", ip_num)

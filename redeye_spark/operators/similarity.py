@@ -449,6 +449,7 @@ def pca_project(
     vec_col: str = "embedding",
     out_col: str = "pca",
     quantize: int = 1_000_000,
+    return_model: bool = False,
 ):
     """Project vectors onto their top-k principal components.
 
@@ -460,7 +461,10 @@ def pca_project(
     projection is a per-row zip_with dot product inside codegen — no
     Python in the distributed path, no second shuffle.
 
-    Returns (projected_df, explained_variance_ratio: list[float])."""
+    Returns (projected_df, explained_variance_ratio: list[float]); with
+    return_model=True additionally returns a dict of the fitted model
+    internals (eigvals/components/mean/n/d) so invariant-based oracles
+    can predict what the distributed projection must satisfy."""
     import numpy as np
     from pyspark.sql import functions as FF
 
@@ -498,4 +502,14 @@ def pca_project(
             lambda acc, x: acc + x,
         )
         proj_cols.append(dot)
-    return df.withColumn(out_col, FF.array(*proj_cols)), evr
+    out = df.withColumn(out_col, FF.array(*proj_cols))
+    if return_model:
+        model = {
+            "eigvals": [float(x) for x in w[order]],
+            "components": comps,  # d x k numpy array, columns unit-norm
+            "mean": mean,         # length-d numpy array (quantized grid)
+            "n": int(n),
+            "d": int(d),
+        }
+        return out, evr, model
+    return out, evr

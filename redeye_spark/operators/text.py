@@ -272,11 +272,21 @@ def bm25_topk(
     n_docs = stats["n_docs"]
     if n_docs == 0:
         return df.sparkSession.createDataFrame([], f"{id_col} string, score double")
-    avgdl = stats["total_len"] / n_docs
     import math
 
+    # idf/avgdl enter the scoring expression as double LITERALS on both
+    # engines (here and in the DuckDB oracle). Rounding them to 9
+    # decimals first makes the constants bit-identical across libm
+    # implementations — an unrounded ln() can differ in the last ulp on
+    # another platform and flip round(score, 4) or a top-k boundary.
+    avgdl = round(stats["total_len"] / n_docs, 9)
     idf = [
-        math.log((n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0)
+        round(
+            math.log(
+                (n_docs - stats[f"df_{i}"] + 0.5) / (stats[f"df_{i}"] + 0.5) + 1.0
+            ),
+            9,
+        )
         for i in range(len(terms))
     ]
     # pass 2: score as a fixed-order sum of per-term contributions so

@@ -13,17 +13,59 @@ from . import (
 
 QUERIES = {}
 ORACLES = {}
-# Registration order IS the driver's verification order (its correctness
-# budget caps at the first 50 entries). Round 5 rotates the
-# training/media/streaming families to the FRONT: they were past the
-# 50-slot window in r3/r4 and never got a driver row, while the
-# logs/TPC-H families have been driver-verified twice running
-# (r4 verdict #2). validate.py covers ALL entries at sf0.1 regardless.
 _MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, eventsq,
             tokensq, searchq, tpch3, urlq, logs, tpch, windowsq)
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
+
+# Registration order IS the driver's verification order (its correctness
+# budget caps at the first 50 entries). Round 6 pins the window
+# explicitly (r5 verdict #1): the 39 entries that had NEVER received a
+# driver CORRECTNESS row (the late-r5 token/funnel/TPC-H-batch-2+3/
+# search/graph/timeseries additions), then pca_projection (oracle-less
+# until r6 — its new invariant oracle needs a driver row), then 10
+# core-pipeline queries last verified in r4 (oldest-verified refresh).
+# validate.py covers ALL entries at sf0.1 regardless of this order.
+_R6_WINDOW = [
+    # tokens axis
+    "token_bigrams", "unigram_stats", "bigram_pmi", "token_entropy",
+    "vocab_coverage",
+    # events: funnel / retention / timeseries
+    "funnel_counts", "retention_cohorts", "error_bursts",
+    "event_transitions", "profile_events", "rolling_anomaly",
+    "resample_1h", "rolling_unique_users",
+    # search + sampling
+    "bm25_search", "take_per_source", "weighted_sample",
+    # url/ip enrichment
+    "lpm_enrich", "api_versions", "referer_domains",
+    # graph + sketches + layout
+    "part_bfs", "part_triangles", "bitmap_distinct_users",
+    "zorder_sample",
+    # windows/grouping extensions
+    "grouping_sets_counts", "top_parts_per_brand",
+    "order_price_percentiles",
+    # TPC-H batch 2/3 analogs
+    "nation_profit", "returned_revenue", "important_parts",
+    "supplier_attr_counts", "dominant_suppliers",
+    "national_market_share", "promo_revenue", "top_supplier",
+    "small_qty_revenue", "large_volume_customers",
+    "disjunctive_revenue", "sole_supplier_orders", "idle_rich_customers",
+    # newly-oracled this round
+    "pca_projection",
+    # oldest-verified core-pipeline refresh (last driver row: r4)
+    "parse_common", "parse_combined", "agg_counts_hour", "route_counts",
+    "dead_letter", "json_lines", "enrich_status_class",
+    "enrich_ua_family", "token_roundtrip", "asof_bucketed",
+]
+assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
+_missing = [n for n in _R6_WINDOW if n not in QUERIES]
+assert not _missing, f"window names drifted from the registry: {_missing}"
+QUERIES = {
+    **{n: QUERIES[n] for n in _R6_WINDOW},
+    **{n: q for n, q in QUERIES.items() if n not in set(_R6_WINDOW)},
+}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
 
 for _m in _MODULES:
     for _k, _v in vars(_m).items():

@@ -279,23 +279,129 @@ FROM cells GROUP BY 1, 2
 
 
 def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-4 principal-component projection of the embeddings: exact
-    covariance cells -> driver-side d x d eigensolve (bounded by
-    construction) -> eigenvectors as array literals -> zip_with dot
-    products in codegen. No SQL oracle (eigendecomposition is not
-    SQL-expressible); the operator is pytest-pinned against a numpy
-    reference on hand data, and the driver records the rows-only
-    check."""
+    """Top-8 PCA projection, verified through its INVARIANTS (r5
+    verdict #3: the eigensolve's sign/order freedom blocks a value-
+    level SQL twin, but what the distributed projection must SATISFY is
+    exactly checkable). Output is a 7-row (invariant, value) report:
+
+      * n_vectors / dim / scatter_q — data-dependent anchors. scatter_q
+        is the exact integer total scatter sum_i (n*sum(x_q^2) -
+        (sum x_q)^2) on the 1e-6 quantized grid, aggregated
+        DISTRIBUTED from the covariance diagonal cells as
+        DECIMAL(38,0); DuckDB rebuilds it in HUGEINT. Any drift in the
+        quantize/center pipeline flips it.
+      * bessel_violations — #vectors where ||proj||^2 exceeds the
+        centered norm^2 (Bessel's inequality; must be 0 for any
+        orthonormal partial basis — catches unnormalized components
+        and broken dot products), computed per row in codegen.
+      * energy_mismatch — 1 unless the DISTRIBUTED projected energy
+        sum||proj||^2 matches the eigensolve's prediction
+        n * sum(top-8 eigenvalues) within 1e-3 relative (quantization
+        slack is ~1e-6; a missed centering or wrong eigen-order is
+        O(1)). Ties the executor-side arithmetic to the driver-side
+        model.
+      * pc_norm_violations / ortho_violations — basis orthonormality
+        at 1e-9 (driver-side numpy on the bounded d x k matrix).
+
+    All violation counts oracle to literal 0 — but they are computed
+    from the data, so the hash row only matches when the invariant
+    actually holds; the anchors keep the result data-dependent."""
+    import numpy as np
+
     from ..operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    proj, _ = similarity.pca_project(emb, k=4)
-    # |pc1|: eigenvector SIGN is solver-arbitrary; magnitude is not
-    return proj.select(
-        "vec_id",
-        F.round(F.abs(F.element_at("pca", 1)), 4).alias("pc1_abs"),
-        F.size("pca").alias("n_components"),
+    proj, _, model = similarity.pca_project(emb, k=8, return_model=True)
+    comps = model["components"]
+    k = comps.shape[1]
+    gram = comps.T @ comps
+    pc_norm_viol = int(np.sum(np.abs(np.diag(gram) - 1.0) > 1e-9))
+    ortho_viol = int(np.sum(np.abs(gram - np.eye(k)) > 1e-9)) - pc_norm_viol
+    pred_energy = model["n"] * float(sum(model["eigvals"]))
+
+    mu = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    centered_sq = F.aggregate(
+        F.zip_with("embedding", mu, lambda x, m: x.cast("double") - m),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
     )
+    proj_sq = F.aggregate(
+        "pca", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    en = proj.select(proj_sq.alias("_pe"), centered_sq.alias("_ce"))
+    rep_en = en.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            F.when(F.col("_pe") > F.col("_ce") * (1.0 + 1e-9) + 1e-9, 1)
+            .otherwise(0)
+        ).alias("_bessel"),
+        F.sum("_pe").alias("_tot_pe"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("n_vectors"), F.col("_n").cast("string"),
+                F.lit("bessel_violations"), F.col("_bessel").cast("string"),
+                F.lit("energy_mismatch"),
+                F.when(
+                    F.abs(F.col("_tot_pe") - F.lit(pred_energy))
+                    <= F.lit(max(abs(pred_energy), 1e-12) * 1e-3),
+                    F.lit(0),
+                ).otherwise(F.lit(1)).cast("string"),
+            )
+        ).alias("invariant", "value_q")
+    )
+
+    _d38 = "decimal(38,0)"
+    cells = similarity.covariance_cells(emb)
+    rep_scatter = (
+        cells.filter(F.col("i") == F.col("j"))
+        .agg(
+            F.sum(
+                F.col("n").cast(_d38) * F.col("sum_xy_q").cast(_d38)
+                - F.col("sum_x_q").cast(_d38) * F.col("sum_x_q").cast(_d38)
+            ).alias("_sc")
+        )
+        .select(
+            F.lit("scatter_q").alias("invariant"),
+            F.col("_sc").cast("string").alias("value_q"),
+        )
+    )
+    rep_model = proj.sparkSession.createDataFrame(
+        [
+            ("dim", str(model["d"])),
+            ("pc_norm_violations", str(pc_norm_viol)),
+            ("ortho_violations", str(ortho_viol)),
+        ],
+        "invariant string, value_q string",
+    )
+    return rep_en.unionByName(rep_scatter).unionByName(rep_model)
+
+
+SQL_PCA_PROJECTION = """
+WITH ex AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+flat AS (
+  SELECT unnest(list_transform(q, (x, i) -> i - 1)) AS pos, unnest(q) AS xq
+  FROM ex
+),
+dims AS (
+  SELECT pos,
+         sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS ssq,
+         sum(CAST(xq AS HUGEINT)) AS s,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM flat GROUP BY 1
+)
+SELECT 'n_vectors' AS invariant, CAST(count(*) AS VARCHAR) AS value_q FROM embeddings
+UNION ALL SELECT 'dim', CAST(min(len(embedding)) AS VARCHAR) FROM embeddings
+UNION ALL SELECT 'scatter_q', CAST(sum(n * ssq - s * s) AS VARCHAR) FROM dims
+UNION ALL SELECT 'bessel_violations', '0'
+UNION ALL SELECT 'energy_mismatch', '0'
+UNION ALL SELECT 'pc_norm_violations', '0'
+UNION ALL SELECT 'ortho_violations', '0'
+"""
 
 
 QUERIES = {
@@ -315,4 +421,5 @@ ORACLES = {
     "embedding_stats": SQL_EMBEDDING_STATS,
     "label_centroid_cells": SQL_LABEL_CENTROID_CELLS,
     "embedding_cov_cells": SQL_EMBEDDING_COV_CELLS,
+    "pca_projection": SQL_PCA_PROJECTION,
 }

@@ -33,15 +33,18 @@ def _bm25_oracle() -> str:
         f"sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
         for i, t in enumerate(terms)
     )
+    # round(ln(...), 9) / round(avgdl, 9) mirror bm25_topk's literal
+    # rounding: both engines then score from bit-identical constants
+    # regardless of libm's last-ulp behavior (ADVICE r5).
     idf = {
         t: (
-            f"ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+            f"round(ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0), 9)"
         )
         for i, t in enumerate(terms)
     }
     contribs = " + ".join(
         f"({idf[t]}) * ({tf[t]} * (1.2 + 1.0) / "
-        f"({tf[t]} + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / s.avgdl))))"
+        f"({tf[t]} + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / round(s.avgdl, 9)))))"
         for t in terms
     )
     return f"""

@@ -104,17 +104,24 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 
 
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11 analog: parts whose lineitem revenue exceeds 1/1000 of total
-    corpus revenue. The global total is a 1-row aggregate broadcast
-    back (never a single-partition window over the fact); the threshold
-    compare is the exact-decimal cross-multiply rev * 1000 > total — no
-    division, no float boundary flips."""
+    """Q11 analog: parts whose lineitem revenue exceeds 1.5x the MEAN
+    per-part revenue. The global (total, part count) is a 1-row
+    aggregate broadcast back (never a single-partition window over the
+    fact); the threshold compare is the exact-decimal cross-multiply
+    rev * nparts * 2 > total * 3 — no division, no float boundary
+    flips. Mean-relative (not total-relative) so the predicate stays
+    discriminating at every scale factor: a fixed share-of-total cut
+    selects nothing once the catalog outgrows it (ADVICE r5 — the old
+    rev*1000 > total matched 0 rows at sf0.1 and validated vacuously),
+    while "top sellers vs the average part" is scale-free."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("_rev"))
-    total = li.agg(F.sum(_rev()).alias("_total"))
+    total = per_part.agg(
+        F.sum("_rev").alias("_total"), F.count(F.lit(1)).alias("_nparts")
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("_rev") * 1000 > F.col("_total"))
+        .filter(F.col("_rev") * F.col("_nparts") * 2 > F.col("_total") * 3)
         .select(
             "l_partkey",
             F.col("_rev").cast("double").alias("part_revenue"),
@@ -129,9 +136,9 @@ WITH r AS (
              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
   FROM lineitem GROUP BY 1
 ),
-t AS (SELECT SUM(rev) AS total FROM r)
+t AS (SELECT SUM(rev) AS total, COUNT(*) AS nparts FROM r)
 SELECT l_partkey, CAST(rev AS DOUBLE) AS part_revenue
-FROM r, t WHERE rev * 1000 > total
+FROM r, t WHERE rev * nparts * 2 > total * 3
 """
 
 
@@ -161,19 +168,26 @@ GROUP BY 1, 2, 3
 
 
 def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20 analog: suppliers that shipped MORE THAN a third of some
-    part's total quantity (dominant-source detection). Per-(part, supp)
-    quantities re-aggregate to per-part totals on the key they are
-    already partitioned by (AQE: no second exchange of the fact);
-    threshold again the exact cross-multiply qty * 3 > total. Output is
-    the distinct supplier set with how many parts each dominates."""
+    """Q20 analog: suppliers that shipped MORE THAN double their fair
+    share of some part's total quantity (dominant-source detection,
+    fair share = total / supplier count for that part). Per-(part,
+    supp) quantities re-aggregate to per-part totals on the key they
+    are already partitioned by (AQE: no second exchange of the fact);
+    threshold is the exact cross-multiply qty * nsupp > total * 2.
+    Fair-share-relative rather than a fixed fraction-of-total so the
+    predicate discriminates at every scale: with ~26-30 suppliers per
+    part in this corpus, the old qty * 3 > total (a >1/3 share) matched
+    0 rows and validated vacuously (ADVICE r5). Output is the distinct
+    supplier set with how many parts each dominates."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast(_D)).alias("_qty")
     )
-    totals = ps.groupBy("l_partkey").agg(F.sum("_qty").alias("_total"))
+    totals = ps.groupBy("l_partkey").agg(
+        F.sum("_qty").alias("_total"), F.count(F.lit(1)).alias("_nsupp")
+    )
     dom = ps.join(totals, "l_partkey").filter(
-        F.col("_qty") * 3 > F.col("_total")
+        F.col("_qty") * F.col("_nsupp") > F.col("_total") * 2
     )
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     return (
@@ -189,10 +203,10 @@ WITH ps AS (
   SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
   FROM lineitem GROUP BY 1, 2
 ),
-t AS (SELECT l_partkey, SUM(qty) AS total FROM ps GROUP BY 1)
+t AS (SELECT l_partkey, SUM(qty) AS total, COUNT(*) AS nsupp FROM ps GROUP BY 1)
 SELECT s_name, COUNT(*) AS n_dominated_parts
 FROM ps JOIN t USING (l_partkey) JOIN supplier ON l_suppkey = s_suppkey
-WHERE qty * 3 > total
+WHERE qty * nsupp > total * 2
 GROUP BY 1
 """
 

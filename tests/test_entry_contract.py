@@ -102,13 +102,10 @@ def test_entry_smoke(spark):
 # Queries DECLARED oracle-less: genuinely non-SQL-expressible ops where
 # the driver's rows-only check is the intended (weaker) gate. Every
 # entry here must say why, and its distributed inputs must be oracled
-# separately.
-_NO_ORACLE_DECLARED = {
-    # eigendecomposition is not SQL-expressible; the covariance cells
-    # feeding it ARE hash-oracled (embedding_cov_cells) and the
-    # eigensolve+projection is pytest-pinned against numpy
-    "pca_projection",
-}
+# separately. Round 6: EMPTY — pca_projection (the last member) now
+# hash-oracles through its invariants (Bessel, energy identity, basis
+# orthonormality, exact integer scatter anchor).
+_NO_ORACLE_DECLARED: set[str] = set()
 
 
 def test_every_query_carries_an_oracle():

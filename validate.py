@@ -18,8 +18,10 @@ Output rows use the driver's CORRECTNESS format:
   {"<query>": {"rows_match": bool, "schema_match": bool,
                "hash_match": bool, "spark_rows": int, "oracle_rows": int,
                "err": null | str}}
-Queries without an oracle (none today) record the weak rows-only check.
-Exit code 0 iff every checked query is fully green.
+Queries without an oracle record err="no_oracle" exactly like the
+driver (counted separately in the summary, never as a hash-green), and
+a 0-row hash match is a FAILURE (a vacuous oracle verifies nothing).
+Exit code 0 iff no query failed.
 """
 
 from __future__ import annotations
@@ -104,6 +106,12 @@ def main() -> int:
             return 2
         names = [n for n in names if n in want]
 
+    def _green(r: dict) -> bool:
+        return bool(
+            r["rows_match"] and r["schema_match"] and r["hash_match"]
+            and not r["err"]
+        )
+
     results: dict[str, dict] = {}
     t_start = time.time()
     for name in names:
@@ -117,11 +125,15 @@ def main() -> int:
             row["spark_rows"] = int(len(got))
             sql = oracles.get(name)
             if sql is None:
-                # Driver's weak path: rows-only.
-                row["rows_match"] = len(got) > 0
-                row["schema_match"] = True
-                row["hash_match"] = len(got) > 0
+                # Mirror the driver's semantics exactly: an oracle-less
+                # query is a recorded WEAKNESS (err: "no_oracle"), never
+                # a silent green — the r5 verdict flagged the old
+                # hash_match=true-on-rows-only path as flattery.
+                row["rows_match"] = None
+                row["schema_match"] = None
+                row["hash_match"] = None
                 row["oracle_rows"] = None
+                row["err"] = "no_oracle"
             else:
                 exp = con.sql(sql).df()
                 row["oracle_rows"] = int(len(exp))
@@ -129,23 +141,32 @@ def main() -> int:
                 row["schema_match"] = sorted(got.columns) == sorted(exp.columns)
                 if row["rows_match"] and row["schema_match"]:
                     row["hash_match"] = value_hash(got) == value_hash(exp)
+                    if len(got) == 0:
+                        # A 0-row hash trivially matches — the oracle
+                        # verified nothing (ADVICE r5: important_parts/
+                        # dominant_suppliers passed vacuously). Fail the
+                        # sweep so non-discriminating oracles surface.
+                        row["err"] = "empty_result: oracle does not discriminate"
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             row["err"] = f"{type(e).__name__}: {e}"[:500]
         results[name] = row
-        ok = row["rows_match"] and row["schema_match"] and row["hash_match"] and not row["err"]
-        print(f"{'PASS' if ok else 'FAIL'} {name} ({time.time() - t0:.1f}s)"
-              + ("" if ok else f" -> {json.dumps(row)}"), flush=True)
+        ok = _green(row)
+        weak = row["err"] == "no_oracle"
+        tag = "PASS" if ok else ("WEAK" if weak else "FAIL")
+        print(f"{tag} {name} ({time.time() - t0:.1f}s)"
+              + ("" if ok or weak else f" -> {json.dumps(row)}"), flush=True)
 
-    n_ok = sum(
-        1 for r in results.values()
-        if r["rows_match"] and r["schema_match"] and r["hash_match"] and not r["err"]
-    )
-    print(f"\n{n_ok}/{len(results)} green at {args.sf_dir} in {time.time() - t_start:.0f}s")
+    n_ok = sum(1 for r in results.values() if _green(r))
+    n_weak = sum(1 for r in results.values() if r["err"] == "no_oracle")
+    n_fail = len(results) - n_ok - n_weak
+    print(f"\n{n_ok} hash-verified + {n_weak} rows-only (no_oracle) + "
+          f"{n_fail} failed, of {len(results)} at {args.sf_dir} "
+          f"in {time.time() - t_start:.0f}s")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
         print(f"wrote {args.out}")
-    return 0 if n_ok == len(results) else 1
+    return 0 if n_fail == 0 else 1
 
 
 if __name__ == "__main__":
