@@ -62,12 +62,23 @@ def text_lines_df(spark, path: str) -> DataFrame:
     has no stable ordering column to parallelize the numbering over).
     Blank lines are dropped after numbering (the reference warns-and-
     skips a trimmed empty line; here it carries no tokens at all)."""
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
     raw = spark.read.text(path).select(
         F.regexp_replace(F.input_file_name(), r"^[a-z0-9+.-]+:(//)?", "").alias("_file"),
         F.col("value").alias("line"),
     )
+    return number_text_lines(raw)
+
+
+def number_text_lines(raw: DataFrame) -> DataFrame:
+    """(_file, line) -> (doc_id, source, line) with per-file physical
+    line numbering — the id/provenance step shared by the batch text
+    reader above and the streaming tail path (each micro-batch is a
+    static frame, so the same window applies there inside
+    foreachBatch)."""
+    from pyspark.sql import Window, functions as F
+
     w = Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
     return (
         raw.withColumn("_line_no", F.row_number().over(w))

@@ -74,6 +74,72 @@ def start_pipeline_stream(
     return writer.start()
 
 
+def start_text_tail_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    trigger_available_now: bool = True,
+):
+    """The reference's `tail -f access.log | redeye` mode
+    (README.md:115-133) as Structured Streaming over raw .log text.
+
+    A Spark file stream treats files as immutable, so "tail" becomes
+    watching a spool DIRECTORY for appended log segments — exactly how
+    log shippers (logrotate, fluentd, filebeat) hand files to a
+    cluster; each drop of lines is one micro-batch. The plan per batch
+    is the batch pipeline VERBATIM: number_text_lines (same provenance
+    doc_id = file#line_no) -> tokenize_lines -> build_tagged (the one
+    Arrow parse exchange + broadcast enrich + route tag) ->
+    partitioned parquet sinks plus a JSON-lines text mirror of the ok
+    rows (the reference's stdout, src/bin/redeye.rs:86-87). The
+    streaming checkpoint makes a restart resume after the last
+    committed segment — the pipe analog of not re-reading consumed
+    stdin."""
+    import os
+
+    from ..operators.parse_op import to_logstash_json
+    from ..operators.tokenize_op import number_text_lines, tokenize_lines
+
+    cfg = cfg or PipelineConfig()
+    raw_lines = (
+        spark.readStream.format("text")
+        .load(watch_dir)
+        .select(
+            F.regexp_replace(
+                F.input_file_name(), r"^[a-z0-9+.-]+:(//)?", ""
+            ).alias("_file"),
+            F.col("value").alias("line"),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tokenized = tokenize_lines(number_text_lines(batch_df))
+        tagged = build_tagged(spark, tokenized, cfg)
+        (
+            tagged.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("sink")
+            .parquet(os.path.join(out_dir, "events"))
+        )
+        (
+            to_logstash_json(tagged)
+            .select("json")
+            .write.mode("append")
+            .text(os.path.join(out_dir, "events_json"))
+        )
+
+    writer = (
+        raw_lines.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_windowed_counts(
     spark: SparkSession,
     source_path: str,

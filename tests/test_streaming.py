@@ -255,3 +255,43 @@ def test_upsert_stream_applies_cdc_in_order(spark, tmp_path_factory):
     assert q.awaitTermination(300)
     got = {r["k"]: (r["v"], r["ver"]) for r in io.read(spark, "t").collect()}
     assert got == {1: ("a9", 9), 2: ("b2", 2), 3: ("c0", 0)}
+
+
+def test_text_tail_stream_two_appends(spark, tmp_path_factory):
+    """README.md:115-133 (`tail -f | redeye`) as a spool-directory
+    stream: two appended log segments, the second run's checkpoint
+    resumes past the first segment, dead-letter routing and the
+    JSON-lines stdout mirror intact."""
+    base = str(tmp_path_factory.mktemp("tail"))
+    watch, out, ckpt = f"{base}/spool", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(watch)
+    pdf = gen_frame(60, fmt=FORMAT_COMBINED, seed=11, malformed_rate=0.0)
+    lines = pdf["line"].tolist()
+    cfg = PipelineConfig(fmt=FORMAT_COMBINED)
+
+    with open(f"{watch}/seg0.log", "w") as f:
+        f.write("\n".join(lines[:30] + ["not a log line"]) + "\n")
+    q = stream_mod.start_text_tail_stream(spark, watch, out, ckpt, cfg)
+    q.awaitTermination(300)
+    ev = spark.read.parquet(out + "/events")
+    assert ev.count() == 31
+    assert ev.filter("sink = 'dead_letter'").count() == 1
+    assert ev.filter("doc_id LIKE '%seg0.log#%'").count() == 31
+
+    # the "tail" drops a second segment; same checkpoint => only the
+    # new file is processed (no seg0 duplicates)
+    with open(f"{watch}/seg1.log", "w") as f:
+        f.write("\n".join(lines[30:]) + "\n")
+    q = stream_mod.start_text_tail_stream(spark, watch, out, ckpt, cfg)
+    q.awaitTermination(300)
+    ev = spark.read.parquet(out + "/events")
+    assert ev.count() == 61
+    assert ev.select("doc_id").distinct().count() == 61
+    assert ev.filter("sink = 'dead_letter'").count() == 1
+
+    js = spark.read.text(out + "/events_json")
+    assert js.count() == 60  # ok rows only, one JSON line each
+    import json as _json
+
+    sample = _json.loads(js.limit(1).collect()[0]["value"])
+    assert sample["@version"] == "1" and "@timestamp" in sample
