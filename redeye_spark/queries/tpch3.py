@@ -174,6 +174,10 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp) quantities re-aggregate to per-part totals on the key they
     are already partitioned by (AQE: no second exchange of the fact);
     threshold is the exact cross-multiply qty * nsupp > total * 2.
+    Grouped + emitted by s_suppkey (the entity key), with s_name
+    attached for display: grouping by name is wrong the moment two
+    suppliers share one (the sf1 replicated corpus exposed exactly
+    that — a name-grouped oracle merged 10 key-distinct copies).
     Fair-share-relative rather than a fixed fraction-of-total so the
     predicate discriminates at every scale: with ~26-30 suppliers per
     part in this corpus, the old qty * 3 > total (a >1/3 share) matched
@@ -194,7 +198,7 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dom.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
-        .select("s_name", "n_dominated_parts")
+        .select("s_suppkey", "s_name", "n_dominated_parts")
     )
 
 
@@ -204,10 +208,10 @@ WITH ps AS (
   FROM lineitem GROUP BY 1, 2
 ),
 t AS (SELECT l_partkey, SUM(qty) AS total, COUNT(*) AS nsupp FROM ps GROUP BY 1)
-SELECT s_name, COUNT(*) AS n_dominated_parts
+SELECT s_suppkey, s_name, COUNT(*) AS n_dominated_parts
 FROM ps JOIN t USING (l_partkey) JOIN supplier ON l_suppkey = s_suppkey
 WHERE qty * nsupp > total * 2
-GROUP BY 1
+GROUP BY 1, 2
 """
 
 
