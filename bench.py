@@ -75,6 +75,12 @@ TIMED_QUERIES = [
     # partial agg; a regression in the higher-order-function gram
     # builder or the map-side collapse shows up here first)
     "token_bigrams",
+    # round 6: the new curation families — DSIR scoring (explode ->
+    # cell agg -> broadcast dot product) and k-means (3 Lloyd's rounds:
+    # iterative bounded collects + codegen assignment); unpinned until
+    # their first quiet-host sample
+    "dsir_scores",
+    "kmeans_assign",
 ]
 
 # Pinned per-query baselines: best recorded sf0.1 wall seconds from the

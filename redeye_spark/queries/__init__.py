@@ -7,14 +7,15 @@ constant for tests.
 """
 
 from . import (
-    annq, dedupq, eventsq, graphq, logs, media, searchq, streamq, tokensq,
-    tpch, tpch2, tpch3, training, urlq, windowsq,
+    annq, clusterq, dedupq, eventsq, graphq, importanceq, logs, media,
+    searchq, streamq, tokensq, tpch, tpch2, tpch3, training, urlq, windowsq,
 )
 
 QUERIES = {}
 ORACLES = {}
 _MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, eventsq,
-            tokensq, searchq, tpch3, urlq, logs, tpch, windowsq)
+            tokensq, searchq, tpch3, urlq, logs, tpch, windowsq, clusterq,
+            importanceq)
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
@@ -53,10 +54,15 @@ _R6_WINDOW = [
     "disjunctive_revenue", "sole_supplier_orders", "idle_rich_customers",
     # newly-oracled this round
     "pca_projection",
-    # oldest-verified core-pipeline refresh (last driver row: r4)
+    # round-6 operator additions (k-means + DSIR) — first driver row
+    "kmeans_cells", "kmeans_assign",
+    "dsir_bucket_ratios", "dsir_scores", "dsir_top_docs",
+    # oldest-verified core-pipeline refresh (last driver row: r4); the
+    # other five r4-era entries (dead_letter, json_lines,
+    # enrich_status_class, enrich_ua_family, asof_bucketed) ceded their
+    # slots to the new operators — each already has 2+ green rows
     "parse_common", "parse_combined", "agg_counts_hour", "route_counts",
-    "dead_letter", "json_lines", "enrich_status_class",
-    "enrich_ua_family", "token_roundtrip", "asof_bucketed",
+    "token_roundtrip",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 _missing = [n for n in _R6_WINDOW if n not in QUERIES]
