@@ -77,8 +77,7 @@ TIMED_QUERIES = [
     "token_bigrams",
     # round 6: the new curation families — DSIR scoring (explode ->
     # cell agg -> broadcast dot product) and k-means (3 Lloyd's rounds:
-    # iterative bounded collects + codegen assignment); unpinned until
-    # their first quiet-host sample
+    # iterative bounded collects + codegen assignment)
     "dsir_scores",
     "kmeans_assign",
 ]
@@ -110,6 +109,11 @@ QUERY_BASELINES_S = {
     "similarity_topk": 0.59,
     "dedup_exact_hashed": 0.28,
     "token_bigrams": 6.29,
+    # round-6 entries: first healthy-host sample (2026-08-18 #5,
+    # calibration 1.06-1.35x quiet pins, headline 163k). kmeans_assign
+    # charges the whole fit (3 Lloyd's rounds of collects) + assignment.
+    "dsir_scores": 1.64,
+    "kmeans_assign": 4.34,
 }
 
 

@@ -7,15 +7,16 @@ constant for tests.
 """
 
 from . import (
-    annq, clusterq, dedupq, eventsq, graphq, importanceq, logs, media,
-    searchq, streamq, tokensq, tpch, tpch2, tpch3, training, urlq, windowsq,
+    annq, bloomq, bpeq, clusterq, dedupq, eventsq, graphq, importanceq,
+    logs, media, perplexityq, searchq, streamq, tokensq, tpch, tpch2,
+    tpch3, training, urlq, windowsq,
 )
 
 QUERIES = {}
 ORACLES = {}
 _MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, eventsq,
             tokensq, searchq, tpch3, urlq, logs, tpch, windowsq, clusterq,
-            importanceq)
+            importanceq, bpeq, bloomq, perplexityq)
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
@@ -54,15 +55,20 @@ _R6_WINDOW = [
     "disjunctive_revenue", "sole_supplier_orders", "idle_rich_customers",
     # newly-oracled this round
     "pca_projection",
-    # round-6 operator additions (k-means + DSIR) — first driver row
+    # round-6 operator additions — first driver row for each family:
+    # k-means, DSIR, BPE trainer, Bloom filter, perplexity LM. The ten
+    # r4-era core entries (parse_common, parse_combined, agg_counts_hour,
+    # route_counts, token_roundtrip, dead_letter, json_lines,
+    # enrich_status_class, enrich_ua_family, asof_bucketed) ceded their
+    # refresh slots — each already has 2+ green driver rows, and entry()
+    # itself smoke-drives the parse->agg core every round. The families'
+    # remaining queries (bpe_encoded, bloom_filter_cells, bloom_merge,
+    # lm_trigram_counts) are sweep-covered now, window-rotated next round.
     "kmeans_cells", "kmeans_assign",
     "dsir_bucket_ratios", "dsir_scores", "dsir_top_docs",
-    # oldest-verified core-pipeline refresh (last driver row: r4); the
-    # other five r4-era entries (dead_letter, json_lines,
-    # enrich_status_class, enrich_ua_family, asof_bucketed) ceded their
-    # slots to the new operators — each already has 2+ green rows
-    "parse_common", "parse_combined", "agg_counts_hour", "route_counts",
-    "token_roundtrip",
+    "bpe_merges", "bpe_compression",
+    "bloom_probe_stats",
+    "perplexity_scores", "perplexity_filter",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 _missing = [n for n in _R6_WINDOW if n not in QUERIES]
