@@ -108,14 +108,30 @@ def perplexity_scores(
 
 def perplexity_filter(
     scores: DataFrame,
-    max_nll_per_tri: float,
+    max_nll_per_tri: float | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Keep ids whose mean per-trigram NLL <= threshold (in nats) —
-    compared as integers (nll_q <= thresh_q * n_tri), division-free.
-    Trigram-less docs are dropped (no evidence either way)."""
-    thresh_q = int(round(max_nll_per_tri * LP_QUANTIZE))
-    return scores.filter(
-        (F.col("n_tri") > 0)
-        & (F.col("nll_q") <= F.lit(thresh_q) * F.col("n_tri"))
-    ).select(id_col)
+    """Keep ids whose mean per-trigram NLL clears the gate — compared
+    as integers, division-free. Trigram-less docs are dropped (no
+    evidence either way).
+
+    With max_nll_per_tri (nats): absolute gate nll_q <= thresh_q*n_tri.
+    With None: corpus-mean-relative gate (scale-free — discriminates at
+    every corpus size): nll_q * T_n <= n_tri * T_nll where (T_n, T_nll)
+    are corpus totals — a 1-row broadcast. The cross-multiply is exact
+    int64 here; at 10^12-doc scale pre-divide the corpus mean onto the
+    grid driver-side instead (one rounding, then the absolute gate)."""
+    evid = scores.filter(F.col("n_tri") > 0)
+    if max_nll_per_tri is not None:
+        thresh_q = int(round(max_nll_per_tri * LP_QUANTIZE))
+        return evid.filter(
+            F.col("nll_q") <= F.lit(thresh_q) * F.col("n_tri")
+        ).select(id_col)
+    tot = evid.agg(
+        F.sum("n_tri").alias("_t_n"), F.sum("nll_q").alias("_t_nll")
+    )
+    return (
+        evid.crossJoin(F.broadcast(tot))
+        .filter(F.col("nll_q") * F.col("_t_n") <= F.col("n_tri") * F.col("_t_nll"))
+        .select(id_col)
+    )

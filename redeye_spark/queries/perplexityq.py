@@ -10,10 +10,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import perplexity
 
-# mean per-trigram NLL gate (nats). Tuned to discriminate on the test
-# corpus at sf0.01 and sf0.1 (non-empty kept AND dropped sets — the
-# repo's 'oracle actually discriminates' convention).
-_MAX_NLL = 4.6
+# The gate is corpus-mean-relative (scale-free): the synthetic corpus'
+# absolute NLL level shifts with SF (more target text -> lower NLL), so
+# any fixed nats threshold is vacuous at one SF or another. Mean-
+# relative keeps/drops non-empty sets at every SF — the repo's 'oracle
+# actually discriminates' convention (same fix as important_parts).
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,10 +38,10 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id): documents whose mean per-trigram NLL clears the gate —
-    integer comparison, division-free."""
+    """(doc_id): documents at-or-below the corpus-mean per-trigram NLL
+    — exact integer cross-multiply, division-free, scale-free."""
     scores = perplexity.perplexity_scores(_docs(spark, sf_dir), _lm(spark, sf_dir))
-    return perplexity.perplexity_filter(scores, _MAX_NLL)
+    return perplexity.perplexity_filter(scores)
 
 
 # --- DuckDB oracles: identical arithmetic, dialect-local functions ---
@@ -101,9 +102,15 @@ SELECT doc_id, n_tri, nll_q FROM scores
 """
 
 SQL_PERPLEXITY_FILTER = f"""
-WITH {_SCORES_CTE}
-SELECT doc_id FROM scores
-WHERE n_tri > 0 AND nll_q <= {int(round(_MAX_NLL * perplexity.LP_QUANTIZE))} * n_tri
+WITH {_SCORES_CTE},
+evid AS (SELECT * FROM scores WHERE n_tri > 0),
+tot AS (
+  SELECT CAST(sum(n_tri) AS BIGINT) AS t_n,
+         CAST(sum(nll_q) AS BIGINT) AS t_nll
+  FROM evid
+)
+SELECT e.doc_id FROM evid e, tot t
+WHERE e.nll_q * t.t_n <= e.n_tri * t.t_nll
 """
 
 

@@ -91,6 +91,20 @@ def test_filter_keeps_in_domain_drops_gibberish(spark):
     assert 5 not in kept and 6 not in kept  # no-evidence docs dropped
 
 
+def test_relative_filter_splits_corpus_and_matches_python(spark):
+    lm_df = perplexity.trigram_counts(_docs(spark, TARGET))
+    scores = perplexity.perplexity_scores(_docs(spark, ALL), lm_df)
+    kept = {int(r["doc_id"]) for r in perplexity.perplexity_filter(scores).collect()}
+    lm, lmb = _py_lm(TARGET)
+    ev = {i: _py_score(t, lm, lmb) for i, t in enumerate(ALL)
+          if _py_score(t, lm, lmb)[0] > 0}
+    t_n = sum(n for n, _ in ev.values())
+    t_nll = sum(s for _, s in ev.values())
+    want = {i for i, (n, s) in ev.items() if s * t_n <= n * t_nll}
+    assert kept == want
+    assert kept and set(ev) - kept, "gate must keep AND drop something"
+
+
 def test_scores_partitioning_invariant(spark):
     lm_df = perplexity.trigram_counts(_docs(spark, TARGET))
     a = perplexity.perplexity_scores(_docs(spark, ALL).repartition(1), lm_df)
