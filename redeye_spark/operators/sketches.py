@@ -23,7 +23,7 @@ approx_count_distinct is a different sketch).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def distinct_sketches(
@@ -144,3 +144,88 @@ def bitmap_distinct(
     every raw value (wins when values-per-group >> occupied buckets)."""
     partials = bitmap_distinct_partials(df, value_col, group_cols)
     return bitmap_merge_distinct(partials, group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter counting (Cormode & Muthu-
+# krishnan 2005, public). Where HLL answers "how many distinct", CMS
+# answers "how often does THIS value occur" in O(depth x width) ints per
+# group regardless of key cardinality: depth independent hash rows, each
+# value incrementing one bucket per row; the point estimate is the MIN
+# over its depth cells (always >= truth; overestimates come only from
+# collisions). Cells are plain integer counts, so partials ADD across
+# shards/days, and — unlike the HLL estimate — every cell and every
+# estimate is a deterministic function of the md5 hash family: a SQL
+# oracle pins the sketch AND its collision overestimates exactly.
+#
+# Scale shape: build = explode(depth positions) feeding a same-stage
+# partial agg (shuffle carries <= depth x width cells per task);
+# estimation probes join the <= 1024-row cell table (broadcast).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(value: Column, row: int, seed: int = 42) -> Column:
+    """Bucket 0..CMS_WIDTH-1 for hash row `row`: first 2 md5 nibbles of
+    the row-salted value (the engine-portable discipline of
+    sampling.hash_bucket)."""
+    key = F.concat(F.lit(f"cms{seed}:{row}:"), value.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
+
+
+def cms_bucket_sql(value_expr: str, row: int, seed: int = 42) -> str:
+    """The identical bucket arithmetic in portable SQL."""
+    h = f"md5('cms{seed}:{row}:' || CAST({value_expr} AS VARCHAR))"
+    return (
+        f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    )
+
+
+def cms_cells(df: DataFrame, value_col: str, seed: int = 42) -> DataFrame:
+    """(row, bucket, cnt) — the sketch as <= depth x width integer
+    cells. Mergeable: cells from different shards/chunks ADD."""
+    v = F.col(value_col)
+    hits = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"), cms_bucket(v, j, seed).alias("bucket")
+                )
+                for j in range(CMS_DEPTH)
+            ])
+        ).alias("h")
+    )
+    return (
+        hits.select(F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame, cells: DataFrame, value_col: str, seed: int = 42
+) -> DataFrame:
+    """(value_col, est) — point estimates for each DISTINCT probe value:
+    min over the depth cells (missing cell -> 0). The cell table
+    broadcasts; the probe side never shuffles rows, only its distinct
+    values."""
+    v = F.col(value_col)
+    lookups = probes.select(value_col).distinct().select(
+        value_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"), cms_bucket(v, j, seed).alias("bucket")
+                )
+                for j in range(CMS_DEPTH)
+            ])
+        ).alias("h"),
+    ).select(value_col, F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
+    return (
+        lookups.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
+    )
