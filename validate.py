@@ -90,6 +90,13 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     con = duckdb.connect()
+    # Bound the oracle engine: without a limit DuckDB grows unchecked on
+    # the window-heavy unrolled oracles (the sf1 BPE replay reached
+    # >100 GB and drew the kernel OOM killer on the whole process).
+    # A cap + temp_directory makes it SPILL instead of dying, and keeps
+    # the Spark JVM's share of the box safe.
+    con.sql("SET memory_limit='48GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
         if os.path.exists(p):
