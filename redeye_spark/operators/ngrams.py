@@ -142,3 +142,78 @@ def token_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    by: str = "source",
+) -> DataFrame:
+    """(by, n_tokens, kl_bits, js_bits) — per-group token-distribution
+    drift vs the whole corpus: KL(group || corpus) and the bounded
+    Jensen-Shannon divergence JS(group, corpus), both in bits.
+
+    A mixture pipeline needs this to see WHICH source's token
+    distribution is drifting from the blend it feeds the trainer (the
+    distribution-shift complement of DSIR's per-document importance):
+    KL ranks sources by divergence, JS bounds it in [0, 1] even when a
+    source has tokens the rest of the corpus lacks.
+
+    Determinism contract (same trick as token_entropy): all counts are
+    exact longs from one explode -> (group, token) partial-aggregated
+    shuffle; the float terms fold in ascending token order via
+    F.aggregate, so the IEEE sum is bit-identical on any partitioning
+    and reproducible in the DuckDB oracle. The missing-token side of JS
+    (tokens the group never emits, where m = q/2 so the term collapses
+    to q) is folded algebraically into `1.0 - sum(present q)` — the
+    oracle uses the SAME regrouping, so the float path is identical.
+
+    Scale shape: the only corpus-sized stage is the first explode ->
+    partial agg (shuffle carries (group, token) cells, bounded by
+    groups x vocab). The corpus-total side is a cells-sized re-agg
+    broadcast back onto the cells; nothing touches Python and nothing
+    collects beyond one total row.
+    """
+    cells = df.select(
+        F.col(by), F.explode(tokens_col).alias("_t")
+    ).groupBy(by, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    glob = cells.groupBy("_t").agg(F.sum("_c").alias("_cg"))
+    # one bounded row: the corpus token total (exact long -> exact double)
+    n_g = float(glob.agg(F.sum("_cg").alias("n")).collect()[0]["n"])
+    per_group = (
+        cells.join(F.broadcast(glob), "_t")
+        .groupBy(by)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_t", "_c", "_cg"))).alias("_tc"),
+            F.sum("_c").alias("n_tokens"),
+        )
+    )
+    ns = F.col("n_tokens").cast("double")
+
+    def _p(s):  # group-conditional probability of a present token
+        return s["_c"].cast("double") / ns
+
+    def _q(s):  # corpus probability of the same token
+        return s["_cg"].cast("double") / F.lit(n_g)
+
+    kl = F.aggregate(
+        "_tc", F.lit(0.0), lambda a, s: a + _p(s) * F.log2(_p(s) / _q(s))
+    )
+    js_p = F.aggregate(
+        "_tc", F.lit(0.0),
+        lambda a, s: a + _p(s) * F.log2(_p(s) / ((_p(s) + _q(s)) / F.lit(2.0))),
+    )
+    js_q = F.aggregate(
+        "_tc", F.lit(0.0),
+        lambda a, s: a + _q(s) * F.log2(_q(s) / ((_p(s) + _q(s)) / F.lit(2.0))),
+    )
+    q_present = F.aggregate("_tc", F.lit(0.0), lambda a, s: a + _q(s))
+    js = (js_p + js_q + (F.lit(1.0) - q_present)) / F.lit(2.0)
+    # + 0.0 collapses IEEE -0.0 (a fold summing to -epsilon rounds to
+    # -0.0, which formats differently from 0.0) — mirrored in the oracle
+    return per_group.select(
+        by,
+        "n_tokens",
+        (F.round(kl, 4) + F.lit(0.0)).alias("kl_bits"),
+        (F.round(js, 4) + F.lit(0.0)).alias("js_bits"),
+    )

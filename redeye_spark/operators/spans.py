@@ -92,3 +92,80 @@ def span_dedup(
             "n_dropped",
         )
     )
+
+
+def dup_ngram_runs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Maximal cross-document duplicated word-n-gram runs — the
+    sliding-window exact-substring dedup signal (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    position whose n-word window also occurs in ANOTHER document is
+    duplicated, and consecutive duplicated positions merge into one
+    maximal run. span_dedup (above) removes TUMBLING spans; this finds
+    duplication at every alignment, so a copied passage is reported as
+    one run regardless of where it starts.
+
+    Returns (id_col, run_start, n_grams, run_words): run_start is the
+    0-based word index of the first duplicated window, n_grams the
+    number of consecutive duplicated windows, run_words = n_grams+n-1
+    the word length of the covered span.
+
+    Scale shape: windows are keyed by a 128-bit digest (two independent
+    xxhash64s), so the duplicate-detection shuffle carries 16-byte keys
+    instead of n-word strings, and the distinct-doc count is a standard
+    two-phase partial aggregate. The join back marks positions by
+    digest (hash join on the same key the agg already shuffled on). The
+    only window function partitions BY DOCUMENT (gaps-and-islands over
+    that doc's duplicated positions) — per-doc-sized state, never a
+    corpus-wide sort. Collision risk 2^-128-scale: acceptable for an
+    exact-substring pass at any corpus size.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    wins = F.filter(
+        F.transform(idx, lambda i: F.slice(words, i, n)),
+        lambda g: F.size(g) == n,
+    )
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(wins, lambda w: F.concat_ws(" ", w))).alias(
+            "pos", "_gram"
+        ),
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64("_gram").alias("_d1"),
+        F.xxhash64("_gram", F.lit(1)).alias("_d2"),
+    )
+    dup = (
+        g.groupBy("_d1", "_d2")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_d1", "_d2")
+    )
+    marked = g.join(dup, ["_d1", "_d2"]).select(id_col, "pos")
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    islands = marked.withColumn("_isl", F.col("pos") - rn)
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("run_start"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            F.col("run_start").cast("long").alias("run_start"),
+            "n_grams",
+            (F.col("n_grams") + F.lit(n - 1)).alias("run_words"),
+        )
+    )
