@@ -229,3 +229,82 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile histogram: the fixed-grid equi-width histogram
+# sketch. Where CMS answers point frequencies, this answers ORDER
+# statistics (p50/p90/p99) from <= |bins| integer cells per group.
+# Values land on the integer grid once (the house quantize-once
+# discipline), bins are a pure integer floor-division of that grid, so
+# cells ADD across shards/days and — unlike t-digest/KLL, whose
+# centroids depend on insertion order — the sketch AND every quantile
+# read from it are deterministic: a SQL oracle pins both exactly.
+#
+# Scale shape: build = one projection feeding a same-stage partial agg
+# (shuffle carries <= |bins| cells per task, never values); quantile
+# reads run a window over the CELLS frame only (bins-sized, bounded by
+# value-range/width, not by corpus size).
+# ---------------------------------------------------------------------------
+
+
+def hist_cells(df: DataFrame, value: Column, width: int) -> DataFrame:
+    """(bin, cnt) — equi-width histogram cells over an integer-grid
+    value. bin = floor(value / width) via pure int64 arithmetic
+    (pmod-corrected division: exact, negative-safe, engine-portable)."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    w = F.lit(width).cast("long")
+    v = value.cast("long")
+    bin_ = ((v - ((v % w + w) % w)) / w).cast("long")
+    return (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*cells: DataFrame) -> DataFrame:
+    """Shard cells ADD: union + re-aggregate (bins-sized shuffle)."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, cells)
+    return u.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hist_quantiles(
+    cells: DataFrame, width: int, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """(q, bin, lo, hi, est) — lower-quantile bins from the cells: the
+    smallest bin whose cumulative count reaches ceil(q*N). lo/hi are
+    the bin's exact integer grid edges; est is its midpoint (the one
+    float step, identical expression order in the oracle).
+
+    The window sorts the CELLS frame (bins-sized) — acceptable at any
+    corpus scale because cell cardinality is value-range/width, not
+    row count."""
+    from pyspark.sql import Window
+
+    cum_w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.partitionBy()
+    c = cells.select(
+        "bin", "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).alias("n"),
+    )
+    x = c.select(
+        "bin", "cum", "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("target", F.ceil(F.col("q") * F.col("n").cast("double")))
+    hit = x.filter(F.col("cum") >= F.col("target"))
+    out = hit.groupBy("q").agg(F.min("bin").alias("bin"))
+    w = F.lit(width).cast("long")
+    lo = F.col("bin") * w
+    hi = lo + w - F.lit(1).cast("long")
+    return out.select(
+        "q",
+        "bin",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        ((lo.cast("double") + hi.cast("double")) / F.lit(2.0)).alias("est"),
+    )

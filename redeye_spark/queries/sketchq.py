@@ -91,14 +91,101 @@ JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram queries: cells / shard-merge / quantile reads over
+# the event value grid (cents = floor(value*100), the house quantize-
+# once step; bin width 500 -> ~bins = range/500, corpus-size-free).
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 500
+
+
+def _cents(df: DataFrame):
+    return F.floor(F.col("value") * F.lit(100)).cast("long")
+
+
+def q_hist_cells_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, cnt): the equi-width histogram sketch of the event value
+    grid — one projection + partial agg, shuffle carries cells only."""
+    ev = _events(spark, sf_dir)
+    return sketches.hist_cells(ev, _cents(ev), _HIST_WIDTH)
+
+
+def q_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-add equivalence: cells built on an event_id%2 split,
+    summed — must equal the whole-corpus build (the oracle computes
+    the latter directly)."""
+    ev = _events(spark, sf_dir)
+    a = sketches.hist_cells(ev.filter(F.col("event_id") % 2 == 0), _cents(ev), _HIST_WIDTH)
+    b = sketches.hist_cells(ev.filter(F.col("event_id") % 2 == 1), _cents(ev), _HIST_WIDTH)
+    return sketches.hist_merge(a, b)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q, bin, lo, hi, est): p50/p90/p99 lower-quantile bins read from
+    the cells — the window runs over the bins-sized cells frame, never
+    the corpus."""
+    ev = _events(spark, sf_dir)
+    cells = sketches.hist_cells(ev, _cents(ev), _HIST_WIDTH)
+    return sketches.hist_quantiles(cells, _HIST_WIDTH, (0.5, 0.9, 0.99))
+
+
+_HIST_BIN_SQL = (
+    "(c - ((c % 500 + 500) % 500)) / 500"
+)
+
+_HIST_CELLS_CTE = """
+cents AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+cells AS (
+  SELECT CAST((c - ((c % 500 + 500) % 500)) / 500 AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM cents GROUP BY 1
+)"""
+
+SQL_HIST_CELLS_VALUE = f"""
+WITH {_HIST_CELLS_CTE}
+SELECT bin, cnt FROM cells
+"""
+
+SQL_HIST_MERGE = SQL_HIST_CELLS_VALUE  # shard-add must equal whole build
+
+SQL_HIST_QUANTILES = f"""
+WITH {_HIST_CELLS_CTE},
+cum AS (
+  SELECT bin,
+         CAST(sum(cnt) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM cells
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT qs.q, min(cum.bin) AS bin
+  FROM qs JOIN cum ON cum.cum >= CAST(ceil(qs.q * CAST(cum.n AS DOUBLE)) AS BIGINT)
+  GROUP BY qs.q
+)
+SELECT q, bin, CAST(bin * 500 AS BIGINT) AS lo,
+       CAST(bin * 500 + 499 AS BIGINT) AS hi,
+       (CAST(bin * 500 AS DOUBLE) + CAST(bin * 500 + 499 AS DOUBLE)) / 2.0 AS est
+FROM hit
+"""
+
 QUERIES = {
     "cms_cells_users": q_cms_cells_users,
     "cms_merge": q_cms_merge,
     "cms_user_estimates": q_cms_user_estimates,
+    "hist_cells_value": q_hist_cells_value,
+    "hist_merge": q_hist_merge,
+    "hist_quantiles": q_hist_quantiles,
 }
 
 ORACLES = {
     "cms_cells_users": SQL_CMS_CELLS_USERS,
     "cms_merge": SQL_CMS_MERGE,
     "cms_user_estimates": SQL_CMS_USER_ESTIMATES,
+    "hist_cells_value": SQL_HIST_CELLS_VALUE,
+    "hist_merge": SQL_HIST_MERGE,
+    "hist_quantiles": SQL_HIST_QUANTILES,
 }

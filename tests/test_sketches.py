@@ -112,3 +112,77 @@ class TestBitmapDistinct:
         df = self._ints(spark)
         n = bitmap_distinct(df, "v").collect()[0]["n_distinct"]
         assert n == df.select("v").distinct().count()
+
+
+class TestQuantileHistogram:
+    def _vals(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame([(int(v),) for v in vals], "v long")
+
+    def test_cells_exact_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from redeye_spark.operators.sketches import hist_cells
+
+        df = self._vals(spark, [0, 1, 9, 10, 19, 20, -1, -10])
+        cells = {r["bin"]: r["cnt"] for r in
+                 hist_cells(df, F.col("v"), 10).collect()}
+        # floor division: -1 and -10 land in bin -1 (floor, not trunc)
+        assert cells == {0: 3, 1: 2, 2: 1, -1: 2}
+
+    def test_merge_equals_whole(self, spark):
+        from pyspark.sql import functions as F
+
+        from redeye_spark.operators.sketches import hist_cells, hist_merge
+
+        import random
+        rng = random.Random(7)
+        vals = [rng.randrange(-500, 5000) for _ in range(4000)]
+        df = self._vals(spark, vals)
+        whole = sorted(hist_cells(df, F.col("v"), 100).collect())
+        a = hist_cells(df.filter(F.col("v") % 2 == 0), F.col("v"), 100)
+        b = hist_cells(df.filter(F.col("v") % 2 != 0), F.col("v"), 100)
+        assert sorted(hist_merge(a, b).collect()) == whole
+
+    def test_quantiles_match_exact_lower_quantile(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from redeye_spark.operators.sketches import hist_cells, hist_quantiles
+
+        import random
+        rng = random.Random(13)
+        vals = sorted(rng.randrange(0, 10000) for _ in range(5003))
+        df = self._vals(spark, vals)
+        width = 250
+        cells = hist_cells(df, F.col("v"), width)
+        out = {r["q"]: r for r in hist_quantiles(cells, width, (0.5, 0.9, 0.99)).collect()}
+        n = len(vals)
+        for q in (0.5, 0.9, 0.99):
+            exact = vals[math.ceil(q * n) - 1]  # lower quantile, 1-based rank
+            r = out[q]
+            assert r["lo"] <= exact <= r["hi"], (q, exact, r)
+            assert r["bin"] == exact // width
+            assert r["est"] == (r["lo"] + r["hi"]) / 2.0
+
+    def test_quantile_window_runs_on_cells_not_corpus(self, spark):
+        """The plan's Window input must be the aggregated cells frame:
+        its Sort/Window appear ABOVE the HashAggregate, so window state
+        is bins-sized at any corpus size."""
+        from pyspark.sql import functions as F
+
+        from redeye_spark.operators.sketches import hist_cells, hist_quantiles
+
+        df = self._vals(spark, range(1000))
+        plan = hist_quantiles(hist_cells(df, F.col("v"), 50), 50)._sc._jvm \
+            .PythonSQLUtils.explainString(
+                hist_quantiles(hist_cells(df, F.col("v"), 50), 50)
+                ._jdf.queryExecution(), "simple")
+        cells_agg = plan.rfind("HashAggregate")  # the bin-cells aggregate
+        win_pos = plan.find("Window")
+        assert win_pos != -1 and cells_agg != -1
+        # upper operators print first: the Window consumes the cells
+        # AGGREGATE's output (prints above it), not the raw value scan
+        assert win_pos < cells_agg, plan
