@@ -17,7 +17,11 @@ from pyspark.sql import SparkSession
 from redeye_spark.queries import QUERIES
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-NAMES = ["hist_cells_value", "hist_merge", "hist_quantiles"]
+NAMES = (
+    sys.argv[2].split(",")
+    if len(sys.argv) > 2
+    else ["hist_cells_value", "hist_merge", "hist_quantiles"]
+)
 
 
 def formatted(df):
@@ -35,7 +39,9 @@ def audit(plan):
     def n(pat):
         return len(re.findall(pat, tree))
 
-    shuffles = n(r"\bExchange \(\d+\)") - n(r"\bBroadcastExchange \(\d+\)")
+    # \bExchange cannot match inside BroadcastExchange (no word boundary
+    # between "t" and "E"), so the count below is shuffle exchanges only
+    shuffles = n(r"\bExchange \(\d+\)")
     return {
         "shuffles": shuffles,
         "bcast": n(r"\bBroadcastExchange \(\d+\)"),
