@@ -80,6 +80,10 @@ TIMED_QUERIES = [
     # iterative bounded collects + codegen assignment)
     "dsir_scores",
     "kmeans_assign",
+    # round 6b: SemDeDup — kmeans fit + the cluster-blocked pair
+    # search (an equi-join fanning to ~500k in-block candidate pairs
+    # at sf0.1, each a 64-dim integer dot in codegen)
+    "semantic_dup_pairs",
 ]
 
 # Pinned per-query baselines: best recorded sf0.1 wall seconds from the
@@ -114,6 +118,10 @@ QUERY_BASELINES_S = {
     # charges the whole fit (3 Lloyd's rounds of collects) + assignment.
     "dsir_scores": 1.64,
     "kmeans_assign": 4.34,
+    # round-6b entry: provisional pin from a standalone cold local[8]
+    # run on landing day (same epoch as sample #5); re-pin at the next
+    # healthy in-bench sample
+    "semantic_dup_pairs": 27.95,
 }
 
 
