@@ -9,14 +9,15 @@ constant for tests.
 from . import (
     annq, bloomq, bpeq, clusterq, corpusq, dedupq, eventsq, graphq,
     importanceq, logs, media, perplexityq, searchq, sketchq, streamq,
-    tokensq, tpch, tpch2, tpch3, training, urlq, windowsq,
+    templatesq, tokensq, tpch, tpch2, tpch3, training, urlq, windowsq,
 )
 
 QUERIES = {}
 ORACLES = {}
 _MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, eventsq,
             tokensq, searchq, tpch3, urlq, logs, tpch, windowsq, clusterq,
-            importanceq, bpeq, bloomq, perplexityq, sketchq, corpusq)
+            importanceq, bpeq, bloomq, perplexityq, sketchq, corpusq,
+            templatesq)
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

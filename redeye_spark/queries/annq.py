@@ -404,8 +404,106 @@ UNION ALL SELECT 'ortho_violations', '0'
 """
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized top-5 for the first 3 vectors: one exact
+    max(|x|) calibration scalar, codes = floor(x*127/absmax), ranking
+    by the exact INTEGER code dot product — the oracle replays the
+    whole quantized search bit-for-bit (operators/quantize.py)."""
+    from ..operators import quantize
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    top = quantize.sq_topk(embs, queries, k=5)
+    return top.select(
+        "query_id", "vec_id", "dot",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sq_codes_cte(levels: int, name: str) -> str:
+    """DuckDB CTE quantizing every embedding at the given grade with
+    the same two IEEE float64 ops as the Spark kernel."""
+    return f"""
+{name} AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor((CAST(x AS DOUBLE) * {levels}.0) / am.m) AS BIGINT)
+         ) AS c
+  FROM embeddings, am
+)"""
+
+
+_SQ_AM = """
+am AS (
+  SELECT CAST(max(abs(t.x)) AS DOUBLE) AS m
+  FROM (SELECT unnest(embedding) AS x FROM embeddings) t
+)"""
+
+
+def _sq_rank_cte(codes: str, name: str) -> str:
+    """Integer dot + row_number ranking of the first-3-query search."""
+    return f"""
+{name} AS (
+  SELECT query_id, vec_id, dot, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(len(q.c)), i -> q.c[i+1] * c.c[i+1])),
+             (a, b) -> a + b) AS dot,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(len(q.c)), i -> q.c[i+1] * c.c[i+1])),
+               (a, b) -> a + b) DESC, c.vec_id ASC
+           ) AS rank
+    FROM {codes} q JOIN {codes} c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 3
+  ) WHERE rank <= 5
+)"""
+
+
+SQL_SQ8_TOPK = f"""
+WITH {_SQ_AM}, {_sq_codes_cte(127, "codes")}, {_sq_rank_cte("codes", "r")}
+SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot,
+       CAST(rank AS BIGINT) AS rank
+FROM r
+"""
+
+
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-loss report: per-query top-5 overlap of the int8
+    search against an int16 reference — the recall number every SQ
+    deployment publishes, exact-integer on both engines."""
+    from ..operators import quantize
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for r in embs.filter(F.col("vec_id") < 3).collect()]
+    return quantize.sq_recall(embs, queries, k=5)
+
+
+SQL_SQ8_RECALL = f"""
+WITH {_SQ_AM}, {_sq_codes_cte(127, "c8")}, {_sq_codes_cte(32767, "c16")},
+{_sq_rank_cte("c8", "r8")}, {_sq_rank_cte("c16", "r16")},
+n AS (
+  SELECT r8.query_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM r8 JOIN r16 ON r16.query_id = r8.query_id AND r16.vec_id = r8.vec_id
+  GROUP BY r8.query_id
+),
+q AS (SELECT DISTINCT query_id FROM r8)
+SELECT q.query_id,
+       COALESCE(n.n_common, 0) AS n_common,
+       round(CAST(COALESCE(n.n_common, 0) AS DOUBLE) / 5.0, 4) AS recall
+FROM q LEFT JOIN n ON n.query_id = q.query_id
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
+    "sq8_topk": q_sq8_topk,
+    "sq8_recall": q_sq8_recall,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_indexed": q_ivf_topk_indexed,
     "embedding_stats": q_embedding_stats,
@@ -416,6 +514,8 @@ QUERIES = {
 
 ORACLES = {
     "similarity_topk": SQL_SIMILARITY_TOPK,
+    "sq8_topk": SQL_SQ8_TOPK,
+    "sq8_recall": SQL_SQ8_RECALL,
     "ivf_topk": SQL_IVF_TOPK,
     "ivf_topk_indexed": SQL_IVF_TOPK,
     "embedding_stats": SQL_EMBEDDING_STATS,
