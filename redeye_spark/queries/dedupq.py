@@ -285,6 +285,31 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+SQL_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_PAIRS}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+lab AS (
+  SELECT coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sz AS (SELECT component, count(*) AS cluster_size FROM lab GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY cluster_size
+"""
+
+
 
 
 def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,6 +326,31 @@ def q_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = dedup.connected_components_twophase(pairs)
     return docs.select("doc_id").join(comps, on="doc_id", how="left").select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup run report every
+    curation pipeline publishes: (cluster_size, n_clusters, n_docs).
+    Two component-keyed partial aggregates on top of dedup_cc's
+    labeling; the shuffles carry components then sizes, never docs."""
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, num_perm=16, bands=8, verify="exact"
+    )
+    comps = dedup.connected_components(pairs)
+    lab = docs.select("doc_id").join(comps, on="doc_id", how="left").select(
+        F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    sz = lab.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
     )
 
 
@@ -427,6 +477,7 @@ QUERIES = {
     "cosine_near_dup": q_cosine_near_dup,
     "dedup_cc": q_dedup_cc,
     "dedup_cc_star": q_dedup_cc_star,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
     "decontaminate": q_decontaminate,
     "decontaminate_shuffle": q_decontaminate_shuffle,
     "dedup_normalized": q_dedup_normalized,
@@ -444,6 +495,7 @@ ORACLES = {
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     "dedup_cc": SQL_DEDUP_CC,
     "dedup_cc_star": SQL_DEDUP_CC,
+    "dup_cluster_sizes": SQL_DUP_CLUSTER_SIZES,
     "decontaminate": SQL_DECONTAMINATE,
     "decontaminate_shuffle": SQL_DECONTAMINATE,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
