@@ -85,12 +85,55 @@ SELECT tl.doc_id, tl.template FROM tl JOIN rare USING (template)
 """
 
 
+def q_stream_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The template census computed INCREMENTALLY: the line corpus is
+    split into 4 files, streamed one file per micro-batch through
+    foreachBatch partial censuses, and the partials merge on read.
+    Sharing log_templates' first-principles oracle hash-pins the
+    streamed+merged census to the batch result — the census is a
+    mergeable sketch, so micro-batching cannot change it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming import stream as stream_mod
+
+    _utc(spark)
+    base = tempfile.mkdtemp(prefix="redeye_tpl_stream_")
+    try:
+        _spark_lines(spark, sf_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(base + "/in")
+        q = stream_mod.start_template_census_stream(
+            spark, base + "/in", base + "/partials", base + "/ckpt",
+            max_files_per_trigger=1, trigger_available_now=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_templates did not finish within 600s")
+    except BaseException:
+        shutil.rmtree(base, ignore_errors=True)
+        raise
+    shutil.rmtree(base + "/in", ignore_errors=True)
+    shutil.rmtree(base + "/ckpt", ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    out = stream_mod.merge_template_census(spark, base + "/partials")
+    return out.select(
+        "template",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "example",
+    )
+
+
 QUERIES = {
     "log_templates": q_log_templates,
     "rare_templates": q_rare_templates,
+    "stream_templates": q_stream_templates,
 }
 
 ORACLES = {
     "log_templates": SQL_LOG_TEMPLATES,
     "rare_templates": SQL_RARE_TEMPLATES,
+    "stream_templates": SQL_LOG_TEMPLATES,
 }

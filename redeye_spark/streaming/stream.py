@@ -405,3 +405,69 @@ def start_upsert_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_TEMPLATE_LINES_SCHEMA = "doc_id string, source string, line string"
+
+
+def start_template_census_stream(
+    spark: SparkSession,
+    source_path: str,
+    partials_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = 1,
+    trigger_available_now: bool = True,
+):
+    """Incremental log-template census: each micro-batch of raw lines
+    collapses to its PARTIAL census — (template, source, n_lines,
+    example) — appended to a partials table; merge_template_census
+    reads the final census off the partials. The census is a mergeable
+    sketch (counts add, distinct-source unions, min-example folds), so
+    the merged result is independent of how the stream was
+    micro-batched — the determinism the oracle pins. This is the
+    streaming face of operators/templates.mine_templates: a tailed log
+    keeps appending partials, and the census read stays
+    template-cardinality-sized regardless of how long the tail runs."""
+    from ..operators import templates
+
+    reader = spark.readStream.schema(_TEMPLATE_LINES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.select(
+                templates.template_expr("line").alias("template"),
+                F.col("source"),
+                F.col("line"),
+            )
+            .groupBy("template", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.min("line").alias("example"),
+            )
+        )
+        part.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(partials_path)
+
+    writer = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merge_template_census(spark: SparkSession, partials_path: str) -> DataFrame:
+    """Fold the streamed partials into the final census — identical
+    output contract to templates.mine_templates on the whole corpus."""
+    p = spark.read.parquet(partials_path)
+    return p.groupBy("template").agg(
+        F.sum("n_lines").alias("n_lines"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("example").alias("example"),
+    )

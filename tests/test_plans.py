@@ -433,7 +433,7 @@ _EAGER_QUERIES = {
     "dedup_cc", "dedup_cc_star", "decontaminate_shuffle", "part_rank",
     "ivf_topk_indexed",
     "stream_error_correlation", "stream_dedup", "stream_upsert",
-    "stream_sessions",
+    "stream_sessions", "stream_templates",
 }
 
 

@@ -103,3 +103,30 @@ class TestPlanShape:
         p = plan_of(templates.rare_template_lines(df, max_share=0.01))
         assert "BroadcastHashJoin" in p, p
         assert "CartesianProduct" not in p, p
+
+
+class TestStreamCensus:
+    def test_merge_invariant_to_batching(self, spark, tmp_path):
+        from redeye_spark.streaming import stream as stream_mod
+
+        rows = [(str(i), f"s{i % 3}", f"GET /api/v{i % 2}/item/{i} ok {i % 7}")
+                for i in range(400)]
+        df = _lines(spark, rows)
+        df.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "in"))
+
+        outs = []
+        for mft, tag in ((1, "a"), (2, "b")):
+            q = stream_mod.start_template_census_stream(
+                spark, str(tmp_path / "in"), str(tmp_path / f"part_{tag}"),
+                str(tmp_path / f"ckpt_{tag}"), max_files_per_trigger=mft)
+            assert q.awaitTermination(300)
+            outs.append(sorted(map(tuple, stream_mod.merge_template_census(
+                spark, str(tmp_path / f"part_{tag}")).collect())))
+        assert outs[0] == outs[1]
+        # and equals the batch operator on the same frame
+        batch = sorted(map(tuple, templates.mine_templates(df).collect()))
+        assert outs[0] == batch
+        # the 1-file run really was incremental: >1 micro-batch appended
+        bids = spark.read.parquet(str(tmp_path / "part_a")).select(
+            "batch_id").distinct().count()
+        assert bids > 1
