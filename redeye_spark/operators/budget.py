@@ -100,3 +100,70 @@ def select_until_budget(
         weight_col,
         F.col("_cum").alias("cum_weight"),
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    fractions: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4)),
+) -> DataFrame:
+    """(bucket, n_docs, n_weight, min_score, max_score) — curriculum
+    bucketing: split the corpus at exact score quantiles (bucket 0 =
+    lowest scores ... len(fractions) = highest) and report each
+    bucket's row and weight (token) mass — the "sort by difficulty,
+    batch by tier" step of curriculum training schedules.
+
+    Boundary for fraction q = num/den is the SMALLEST score whose
+    cumulative doc count reaches ceil(q*N) — integer rank arithmetic
+    (cum*den >= num*N), no float percentile. The score census is one
+    partial-aggregated shuffle (distinct scores, not rows); the
+    cumulative walk and boundary extraction run on the CENSUS
+    (score-range-sized, corpus-size-free), and the boundaries broadcast
+    back over the row stream as a 1-row frame."""
+    for num, den in fractions:
+        if not (0 < num < den):
+            raise ValueError(f"fractions must be in (0,1): {num}/{den}")
+    s = F.col(score_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    rows = df.select(s.alias("_s"), w.alias("_w"))
+    census = rows.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    cum_w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    # re-alias the total leg: both legs descend from `census`, and a
+    # self-join of shared expression IDs is ambiguous to the analyzer
+    total = census.select(F.col("_n").alias("_tn")).agg(
+        F.sum("_tn").alias("_tot")
+    )
+    cen = census.withColumn("_cum", F.sum("_n").over(cum_w)).crossJoin(
+        F.broadcast(total)
+    )
+    # one boundary column per fraction, reduced over the census frame
+    bounds = cen.agg(
+        *[
+            F.min(
+                F.when(F.col("_cum") * den >= num * F.col("_tot"), F.col("_s"))
+            ).alias(f"_b{i}")
+            for i, (num, den) in enumerate(fractions)
+        ]
+    )
+    tagged = rows.crossJoin(F.broadcast(bounds))
+    bucket = F.lit(len(fractions)).cast("long")
+    for i in range(len(fractions) - 1, -1, -1):
+        bucket = F.when(F.col("_s") <= F.col(f"_b{i}"), i).otherwise(bucket)
+    return (
+        tagged.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_weight"),
+            F.min("_s").alias("min_score"),
+            F.max("_s").alias("max_score"),
+        )
+        .select(
+            "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_weight").cast("long").alias("n_weight"),
+            "min_score",
+            "max_score",
+        )
+    )

@@ -62,10 +62,67 @@ SELECT doc_id, score, n_tokens, cum_weight FROM c, t WHERE cum_weight <= t.b
 """
 
 
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile curriculum tiers over the classifier score with token
+    mass per tier — exact integer rank boundaries (cum*den >= num*N),
+    census-sized boundary pass, boundaries broadcast over the rows."""
+    _utc(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = classifier.feature_hash_scores(docs, dim=_DIM).select(
+        "doc_id", "score"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    frame = scored.join(toks, "doc_id")
+    return budget_op.quantile_buckets(frame, "score", "n_tokens")
+
+
+SQL_CURRICULUM_BUCKETS = f"""
+WITH {_DUCK_SCORES},
+w AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+j AS (SELECT s.doc_id, s.score, w.n_tokens FROM s JOIN w USING (doc_id)),
+cen AS (SELECT score AS sc, count(*) AS n FROM j GROUP BY score),
+cum AS (
+  SELECT sc,
+         sum(n) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS c
+  FROM cen
+),
+tot AS (SELECT count(*) AS N FROM j),
+bnd AS (
+  SELECT min(CASE WHEN c * 4 >= 1 * N THEN sc END) AS b0,
+         min(CASE WHEN c * 2 >= 1 * N THEN sc END) AS b1,
+         min(CASE WHEN c * 4 >= 3 * N THEN sc END) AS b2
+  FROM cum, tot
+),
+tg AS (
+  SELECT j.score, j.n_tokens,
+         CASE WHEN j.score <= bnd.b0 THEN 0
+              WHEN j.score <= bnd.b1 THEN 1
+              WHEN j.score <= bnd.b2 THEN 2
+              ELSE 3 END AS bucket
+  FROM j, bnd
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_weight,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM tg GROUP BY bucket
+"""
+
+
 QUERIES = {
     "token_budget_select": q_token_budget_select,
+    "curriculum_buckets": q_curriculum_buckets,
 }
 
 ORACLES = {
     "token_budget_select": SQL_TOKEN_BUDGET_SELECT,
+    "curriculum_buckets": SQL_CURRICULUM_BUCKETS,
 }

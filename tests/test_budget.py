@@ -79,3 +79,49 @@ class TestPlanShape:
         row_windows = [w for w in re.findall(r"Window \[.*", p)
                        if "_cum" in w or "w#" in w]
         assert all("partitionBy" not in w or "_bkt" in w for w in row_windows)
+
+
+class TestQuantileBuckets:
+    def _run(self, spark, rows, **kw):
+        out = budget.quantile_buckets(_df(spark, rows).withColumnRenamed(
+            "w", "n_tokens"), "score", "n_tokens", **kw)
+        return {r["bucket"]: (r["n_docs"], r["n_weight"],
+                              r["min_score"], r["max_score"])
+                for r in out.collect()}
+
+    def test_hand_computed_quartiles(self, spark):
+        # scores 1..8, one doc each, weight = score
+        rows = [(i, i, i) for i in range(1, 9)]
+        got = self._run(spark, rows)
+        # N=8: b0 = min score with cum*4 >= 8  -> cum >= 2 -> score 2
+        #      b1 = cum*2 >= 8 -> cum >= 4 -> score 4
+        #      b2 = cum*4 >= 24 -> cum >= 6 -> score 6
+        assert got == {
+            0: (2, 3, 1, 2),
+            1: (2, 7, 3, 4),
+            2: (2, 11, 5, 6),
+            3: (2, 15, 7, 8),
+        }
+
+    def test_all_equal_scores_collapse_to_bucket_zero(self, spark):
+        rows = [(i, 7, 2) for i in range(10)]
+        got = self._run(spark, rows)
+        assert got == {0: (10, 20, 7, 7)}
+
+    def test_bad_fractions_raise(self, spark):
+        df = _df(spark, [(1, 1, 1)]).withColumnRenamed("w", "n_tokens")
+        with pytest.raises(ValueError):
+            budget.quantile_buckets(df, "score", "n_tokens",
+                                    fractions=((0, 4),))
+        with pytest.raises(ValueError):
+            budget.quantile_buckets(df, "score", "n_tokens",
+                                    fractions=((5, 4),))
+
+    def test_partitioning_invariance(self, spark):
+        rows = [(i, (i * 17) % 31, 1 + i % 6) for i in range(500)]
+        df = _df(spark, rows).withColumnRenamed("w", "n_tokens")
+        a = sorted(map(tuple, budget.quantile_buckets(
+            df, "score", "n_tokens").collect()))
+        b = sorted(map(tuple, budget.quantile_buckets(
+            df.repartition(13), "score", "n_tokens").collect()))
+        assert a == b
