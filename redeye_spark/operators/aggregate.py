@@ -123,3 +123,58 @@ def rolling_distinct(
         .groupBy("day")
         .agg(F.count_distinct("_key").alias("n_unique"))
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fractions: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+    names: tuple[str, ...] = ("p50", "p90", "p99"),
+) -> DataFrame:
+    """(group, n, p50, p90, p99) — EXACT per-group percentiles of an
+    integer value column: the per-service latency/size SLO read.
+
+    Percentile q = num/den is the smallest value whose per-group
+    cumulative count reaches ceil(q·n_group) — integer cross-multiplied
+    rank arithmetic, no float interpolation, so the read is engine-
+    exact (nearest-rank / PERCENTILE_DISC semantics).
+
+    Scale shape: one partial-aggregated census shuffle of distinct
+    (group, value) cells — the only corpus-sized pass; the cumulative
+    walk, per-group totals, and boundary extraction all run as windows
+    and an aggregate over the CENSUS, partitioned BY GROUP (cells per
+    group bounded by that group's value range, never its row count).
+    NULL values are excluded (they have no rank)."""
+    from pyspark.sql import Window
+
+    if len(fractions) != len(names):
+        raise ValueError("fractions and names must align")
+    for num, den in fractions:
+        if not (0 < num <= den):
+            raise ValueError(f"fractions must be in (0,1]: {num}/{den}")
+    g = F.col(group_col)
+    v = F.col(value_col).cast("long")
+    cen = (
+        df.filter(v.isNotNull())
+        .select(g.alias("_g"), v.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    cum_w = (
+        Window.partitionBy("_g").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("_g")
+    walked = cen.withColumn("_cum", F.sum("_n").over(cum_w)).withColumn(
+        "_tot", F.sum("_n").over(tot_w)
+    )
+    return walked.groupBy(F.col("_g").alias(group_col)).agg(
+        F.max("_tot").cast("long").alias("n"),
+        *[
+            F.min(
+                F.when(F.col("_cum") * den >= num * F.col("_tot"), F.col("_v"))
+            ).alias(nm)
+            for (num, den), nm in zip(fractions, names)
+        ],
+    )

@@ -721,6 +721,41 @@ FROM owned GROUP BY source, anchor_id
 """
 
 
+def q_size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-method p50/p90/p99 of response content_length —
+    nearest-rank (PERCENTILE_DISC) semantics on the (method, size)
+    census. Contrast with latency_percentiles above: Spark's
+    `percentile()` buffers every value in the aggregation state (exact
+    but memory-unbounded per group), while group_percentiles' only
+    corpus-sized pass is a partial-aggregated census whose state is
+    bounded by the VALUE RANGE — the exact-percentile plan that
+    survives 10^12 rows per group."""
+    parsed = _parsed(spark, sf_dir).filter(F.col("error_kind").isNull())
+    return agg_op.group_percentiles(parsed, "method", "content_length")
+
+
+SQL_SIZE_PERCENTILES = f"""
+WITH {{base}},
+ok AS (
+  SELECT method, content_length AS v FROM expected
+  WHERE error_kind IS NULL AND content_length IS NOT NULL
+),
+cen AS (SELECT method, v, count(*) AS n FROM ok GROUP BY method, v),
+walked AS (
+  SELECT method, v,
+         sum(n) OVER (PARTITION BY method ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         sum(n) OVER (PARTITION BY method) AS t
+  FROM cen
+)
+SELECT method, CAST(max(t) AS BIGINT) AS n,
+       CAST(min(CASE WHEN c * 2 >= 1 * t THEN v END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN c * 10 >= 9 * t THEN v END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN c * 100 >= 99 * t THEN v END) AS BIGINT) AS p99
+FROM walked GROUP BY method
+""".format(base=_oracle_base())
+
+
 
 
 
@@ -746,6 +781,7 @@ QUERIES = {
     "session_stats": q_session_stats,
     "session_window_stats": q_session_window_stats,
     "heavy_hitters": q_heavy_hitters,
+    "size_percentiles": q_size_percentiles,
 }
 
 ORACLES = {
@@ -769,4 +805,5 @@ ORACLES = {
     "session_stats": SQL_SESSION_STATS,
     "session_window_stats": SQL_SESSION_WINDOW_STATS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "size_percentiles": SQL_SIZE_PERCENTILES,
 }

@@ -296,3 +296,55 @@ def test_token_entropy_deterministic(spark):
     h = round(math.log2(4) - (3 * math.log2(3)) / 4, 4)
     [r] = token_entropy(df2).collect()
     assert (r["n_tokens"], r["entropy_bits"]) == (4, h)
+
+
+class TestGroupPercentiles:
+    """operators/aggregate.group_percentiles — exact nearest-rank
+    per-group percentiles off the (group, value) census."""
+
+    def _run(self, spark, rows, **kw):
+        from redeye_spark.operators import aggregate as agg_op
+
+        df = spark.createDataFrame(rows, "g string, v long")
+        return {r["g"]: (r["n"], r["p50"], r["p90"], r["p99"])
+                for r in agg_op.group_percentiles(df, "g", "v", **kw).collect()}
+
+    def test_hand_computed_nearest_rank(self, spark):
+        rows = [("a", v) for v in [10, 20, 30, 40]] + [("b", 7)]
+        got = self._run(spark, rows)
+        # a: n=4 -> p50 = rank ceil(2)=2 -> 20; p90 = ceil(3.6)=4 -> 40
+        assert got["a"] == (4, 20, 40, 40)
+        assert got["b"] == (1, 7, 7, 7)
+
+    def test_nulls_excluded(self, spark):
+        from redeye_spark.operators import aggregate as agg_op
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 3)], "g string, v long")
+        out = agg_op.group_percentiles(df, "g", "v").collect()[0]
+        assert out["n"] == 2 and out["p50"] == 1 and out["p99"] == 3
+
+    def test_matches_sorted_truth(self, spark):
+        import math
+
+        vals = [((i * 37) % 101) for i in range(500)]
+        rows = [("g", v) for v in vals]
+        got = self._run(spark, rows)["g"]
+        s = sorted(vals)
+        def nr(q_num, q_den):
+            return s[math.ceil(q_num * len(s) / q_den) - 1]
+        assert got == (500, nr(1, 2), nr(9, 10), nr(99, 100))
+
+    def test_partitioning_invariance_and_plan(self, spark):
+        from redeye_spark.operators import aggregate as agg_op
+        from tests.test_plans import plan_of
+
+        rows = [(f"g{i % 4}", (i * 13) % 50) for i in range(400)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        a = sorted(map(tuple, agg_op.group_percentiles(df, "g", "v").collect()))
+        b = sorted(map(tuple, agg_op.group_percentiles(
+            df.repartition(9), "g", "v").collect()))
+        assert a == b
+        p = plan_of(agg_op.group_percentiles(df, "g", "v"))
+        assert "partial_count" in p          # census is map-side combined
+        assert "BatchEvalPython" not in p
