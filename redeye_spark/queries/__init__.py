@@ -9,8 +9,8 @@ constant for tests.
 from . import (
     annq, bloomq, bpeq, budgetq, classifyq, clusterq, corpusq, dedupq,
     eventsq, graphq, importanceq, logs, media, perplexityq, searchq,
-    sketchq, streamq, templatesq, tokensq, tpch, tpch2, tpch3, training,
-    urlq, windowsq,
+    shardq, sketchq, streamq, templatesq, tokensq, tpch, tpch2, tpch3,
+    training, urlq, windowsq,
 )
 
 QUERIES = {}
@@ -18,7 +18,7 @@ ORACLES = {}
 _MODULES = (training, dedupq, annq, media, streamq, graphq, tpch2, eventsq,
             tokensq, searchq, tpch3, urlq, logs, tpch, windowsq, clusterq,
             importanceq, bpeq, bloomq, perplexityq, sketchq, corpusq,
-            templatesq, classifyq, budgetq)
+            templatesq, classifyq, budgetq, shardq)
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
