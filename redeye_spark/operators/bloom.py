@@ -100,3 +100,34 @@ def bloom_probe(
         )
         hit = hit & (word.bitwiseAND(mask) != 0)
     return probes.withColumn(out_col, hit)
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Runtime-filter (Bloom-pruned) inner join — the 100 TB join
+    pattern Spark's own `spark.sql.optimizer.runtimeFilter` automates,
+    made explicit and engine-exact: build the filter from the DIM keys
+    (<= m/62 cell rows -> a literal word array), prefilter the FACT
+    side as a ZERO-SHUFFLE codegen projection, then join only the
+    survivors. The result is EXACTLY the plain join — the filter has
+    no false negatives, and its deterministic false positives die in
+    the real join — but the shuffle/broadcast probe now carries only
+    rows that MIGHT match, which at fact scale is the difference
+    between exchanging 100 TB and exchanging the selectivity.
+
+    NOTE: building the filter runs one bounded job (collect of the
+    cell table) when this function is CALLED — same contract as
+    ivf_topk_indexed's index build."""
+    cells = bloom_cells(dim.select(F.col(dim_key).alias("_v")), "_v", seed)
+    words = collect_words(cells)
+    pruned = (
+        bloom_probe(fact, words, fact_key, seed)
+        .filter(F.col("bloom_hit"))
+        .drop("bloom_hit")
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -104,14 +104,63 @@ FROM chk GROUP BY 1
 """
 
 
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue for size-1 parts THROUGH the Bloom-pruned join:
+    the runtime-filter pattern end to end. The oracle is the PLAIN
+    join — hash equality proves the pruned plan changes nothing but
+    the exchanged row mass (no false negatives; false positives die in
+    the join)."""
+    from ._shared import _utc
+
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey", "p_brand")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    j = bloom.bloom_pruned_join(li, dim, "l_partkey", "p_partkey")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.sum(rev).alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("n_items").cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_BLOOM_PRUNED_REVENUE = """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size = 1
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "bloom_filter_cells": q_bloom_filter_cells,
     "bloom_merge": q_bloom_merge,
     "bloom_probe_stats": q_bloom_probe_stats,
+    "bloom_pruned_revenue": q_bloom_pruned_revenue,
 }
 
 ORACLES = {
     "bloom_filter_cells": SQL_BLOOM_FILTER_CELLS,
     "bloom_merge": SQL_BLOOM_MERGE,
     "bloom_probe_stats": SQL_BLOOM_PROBE_STATS,
+    "bloom_pruned_revenue": SQL_BLOOM_PRUNED_REVENUE,
 }

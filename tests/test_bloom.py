@@ -83,3 +83,32 @@ def test_cells_partial_agg_collapses_before_exchange(spark):
     )
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.rindex("HashAggregate") > plan.index("Exchange"), plan
+
+
+class TestBloomPrunedJoin:
+    def test_equals_plain_join(self, spark):
+        from redeye_spark.operators.bloom import bloom_pruned_join
+
+        fact = spark.createDataFrame(
+            [(i, i % 100) for i in range(3000)], "row_id long, k long")
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(0, 100, 7)], "dk long, label string")
+        got = sorted(map(tuple, bloom_pruned_join(fact, dim, "k", "dk")
+                         .select("row_id", "k", "dk", "label").collect()))
+        want = sorted(map(tuple, fact.join(
+            dim, fact["k"] == dim["dk"]).select(
+            "row_id", "k", "dk", "label").collect()))
+        assert got == want and len(got) > 0
+
+    def test_prune_happens_before_join(self, spark):
+        from redeye_spark.operators.bloom import bloom_pruned_join
+        from tests.test_plans import plan_of
+
+        fact = spark.createDataFrame([(i, i) for i in range(50)],
+                                     "row_id long, k long")
+        dim = spark.createDataFrame([(1, "a"), (2, "b")], "dk long, label string")
+        p = plan_of(bloom_pruned_join(fact, dim, "k", "dk"))
+        # the probe filter is codegen md5 arithmetic in a Filter node,
+        # not a join or Python eval
+        assert "md5" in p and "Filter" in p, p
+        assert "BatchEvalPython" not in p and "CartesianProduct" not in p
