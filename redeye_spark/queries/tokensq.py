@@ -235,8 +235,57 @@ FROM g
 """
 
 
+def q_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve of the token vocabulary: top-50 tokens
+    with rank and frequency ratio vs rank 1 — the standard corpus
+    health plot. The unigram census is the one corpus-sized (explode ->
+    partial-agg) pass; ranking windows over the CENSUS (vocab-sized,
+    <= 256 byte tokens here), ties broken by token id."""
+    from pyspark.sql import Window
+
+    from ..operators import ngrams
+
+    _utc(spark)
+    counts = ngrams.ngram_counts(_raw(spark, sf_dir), n=1).select(
+        F.element_at("gram", 1).cast("long").alias("token"),
+        F.col("n_occurrences").alias("n"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 50
+    )
+    n1 = top.filter(F.col("rank") == 1).select(F.col("n").alias("_n1"))
+    return top.crossJoin(F.broadcast(n1)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("_n1"), 6).alias("ratio"),
+    )
+
+
+SQL_ZIPF_RANK = f"""
+WITH {_duck_lines()},
+toks AS (
+  SELECT unnest(list_transform(range(length(line)), i -> ord(line[i+1]))) AS t
+  FROM lines
+),
+c AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY t),
+r AS (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM c
+),
+top AS (SELECT * FROM r WHERE rank <= 50),
+n1 AS (SELECT n AS n1 FROM top WHERE rank = 1)
+SELECT CAST(rank AS BIGINT) AS rank, CAST(token AS BIGINT) AS token, n,
+       round(CAST(n AS DOUBLE) / CAST(n1.n1 AS DOUBLE), 6) AS ratio
+FROM top, n1
+"""
+
+
 QUERIES = {
     "token_bigrams": q_token_bigrams,
+    "zipf_rank": q_zipf_rank,
     "unigram_stats": q_unigram_stats,
     "vocab_coverage": q_vocab_coverage,
     "bigram_pmi": q_bigram_pmi,
@@ -245,6 +294,7 @@ QUERIES = {
 
 ORACLES = {
     "token_bigrams": SQL_TOKEN_BIGRAMS,
+    "zipf_rank": SQL_ZIPF_RANK,
     "unigram_stats": SQL_UNIGRAM_STATS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "bigram_pmi": SQL_BIGRAM_PMI,
