@@ -63,6 +63,64 @@ def parse_sequences(
     return df.mapInPandas(fn, schema=schema)
 
 
+def parse_raw_lines(
+    df: DataFrame,
+    fmt: str = FORMAT_COMMON,
+    carry_tokens: bool = False,
+    num_partitions: int | None = None,
+    validate: bool = False,
+) -> DataFrame:
+    """(doc_id, source, line) -> parsed-event rows in ONE Python hop.
+
+    Semantically identical to ``tokenize_lines(df)`` piped through
+    ``parse_sequences``: the tokenizer is one int32 token per UTF-8 byte,
+    so ``detokenize(tokenize(line)) == line`` byte-for-byte and parsing
+    the original line is exact. Fusing the two operators keeps the token
+    array from ever crossing the JVM<->Python boundary mid-pipeline
+    (guide §4: the tokenize->exchange->detokenize round trip shipped the
+    fattest column twice); tokens are still built by the same
+    ``tokens_list_array`` kernel when carried or validated.
+
+    validate=True appends the token_ok invariant column
+    (retokenize(message) == tokens, FIXTURES §3.1) in the same hop —
+    the standalone ``validate_tokens`` pass ships the full parsed frame
+    through Python a second time just to compare two byte buffers.
+    """
+    from pyspark.sql import types as T
+
+    from ..functions.tokens import tokens_list_array
+
+    if num_partitions:
+        df = df.repartition(num_partitions)
+
+    schema = parsed_schema(carry_tokens)
+    if validate:
+        schema = T.StructType(
+            schema.fields + [T.StructField("token_ok", T.BooleanType())]
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as _pa
+
+        _pa.set_cpu_count(1)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            out = parse_lines(b["line"], fmt)
+            out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))
+            out.insert(1, "source", b["source"].reset_index(drop=True))
+            if carry_tokens or validate:
+                toks = tokens_list_array(b["line"])
+                tok_series = toks.to_pandas().reset_index(drop=True)
+                if carry_tokens:
+                    out.insert(2, "tokens", tok_series)
+                if validate:
+                    out["token_ok"] = tokens_equal(out["message"], tok_series)
+            yield out
+
+    return df.mapInPandas(fn, schema=schema)
+
+
 def validate_tokens(parsed: DataFrame) -> DataFrame:
     """Append token_ok: retokenize(message) == tokens (FIXTURES §3.1).
 

@@ -118,15 +118,28 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def _spark_lines(spark: SparkSession, sf_dir: str, fmt: str = FORMAT_COMMON) -> DataFrame:
+def _spark_lines(spark: SparkSession, sf_dir: str, fmt: str = FORMAT_COMMON,
+                 spread: bool = False) -> DataFrame:
     """events -> (doc_id, source, line) with session TZ pinned to UTC so
-    naive parquet timestamps render identically to DuckDB."""
+    naive parquet timestamps render identically to DuckDB.
+
+    spread=True round-robins the EVENTS SCAN across the session's cores
+    BEFORE the line-construction projection: the sf testdata is one
+    single-row-group parquet file per table (unsplittable scan), so the
+    exchange is mandatory for parallelism — placed here it carries the 5
+    narrow base columns (~40 B/row) and the line build + downstream
+    parse UDF all run post-exchange in parallel, instead of shuffling
+    generated lines or (worse) token arrays (guide §2.3: shuffle the
+    lightweight proxy, not the payload)."""
     from ..functions.logparse import FORMAT_COMBINED
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     f = _frags("spark")
     line = f["line_combined"] if fmt == FORMAT_COMBINED else f["line"]
-    return spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if spread:
+        ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    return ev.selectExpr(
         f"{f['doc_id']} AS doc_id",
         "event_type AS source",
         f"{line} AS line",
@@ -156,14 +169,16 @@ def _parsed(spark: SparkSession, sf_dir: str, carry_tokens: bool = False,
     import os
 
     def build() -> DataFrame:
-        raw = tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir, fmt))
-        # explicit round-robin repartition before the parse UDF: the sf
-        # testdata is one parquet file, so without it the whole parse runs
-        # on ONE core (2-3x wall at sf0.1). Row-wise op — the result set is
-        # partitioning-invariant, so every oracle hash is unaffected.
-        return parse_op.parse_sequences(
-            raw, fmt=fmt, carry_tokens=carry_tokens,
-            num_partitions=spark.sparkContext.defaultParallelism,
+        # The exchange moved BEFORE line construction (spread=True): it
+        # used to sit between tokenize and parse, which (a) ran the
+        # line build + tokenize UDF single-core on the unsplittable
+        # 1-file scan and (b) shuffled the per-byte token arrays (~5x
+        # the line bytes). Tokenize+parse are fused into one Python hop
+        # (parse_raw_lines) — detokenize(tokenize(l)) == l exactly, so
+        # the result set (and every oracle hash) is unchanged.
+        return parse_op.parse_raw_lines(
+            _spark_lines(spark, sf_dir, fmt, spread=True),
+            fmt=fmt, carry_tokens=carry_tokens,
         )
 
     if os.environ.get("REDEYE_NO_PARSE_CACHE"):
