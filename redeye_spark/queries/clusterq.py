@@ -142,8 +142,13 @@ def q_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration history, the clamp+floor quantization, the dot products
     — so a hash match pins blocking and similarity math end-to-end."""
     from ..operators import semdedup
+    from ._shared import _spread
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # _spread: the 1-row-group embeddings scan is unsplittable, so the
+    # within-cluster pair search (~500k interpreted 64-dim integer dot
+    # products in the join's probe stage) ran in ONE task (4.8 s at
+    # sf0.1). Exact integer arithmetic — partitioning-invariant.
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     centroids = clustering.kmeans_fit(emb, k=_K, iters=_ITERS)
     return semdedup.semantic_dup_pairs(emb, centroids, tau=_SEM_TAU)
 
@@ -153,8 +158,9 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector without a senior (smaller-id) above-threshold neighbor in
     its own cluster. The drop anti-join carries bare ids only."""
     from ..operators import semdedup
+    from ._shared import _spread
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     centroids = clustering.kmeans_fit(emb, k=_K, iters=_ITERS)
     return semdedup.semantic_dedup_keep(emb, centroids, tau=_SEM_TAU)
 

@@ -87,7 +87,11 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops 64 -> 16 (4x cheaper signatures)."""
     from ..operators import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _spread: the 1-row-group documents scan is unsplittable, so the
+    # signature mapInPandas (evaluated by 2-3 banding consumers) and
+    # the exact-verify pass all ran single-task without it. Signatures
+    # are a pure function of the text — partitioning-invariant.
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return dedup.minhash_lsh_pairs(
         docs, threshold=0.5, num_perm=16, bands=8, verify="exact"
     ).select("id_a", "id_b")

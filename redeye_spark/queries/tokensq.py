@@ -20,8 +20,14 @@ from ._shared import _frags, _spark_lines, _utc
 def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> (doc_id, tokens, n_tok, source): the pipeline's input
     shape, derived deterministically (tokens = UTF-8 bytes of the
-    line; the corpus is ASCII so ord() mirrors it in the oracle)."""
-    return tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir))
+    line; the corpus is ASCII so ord() mirrors it in the oracle).
+
+    spread=True: the single-row-group events scan is unsplittable, so
+    without the pre-tokenize exchange the line build + tokenize UDF +
+    explode + partial aggregate of every token query ran in ONE task
+    (5.2 s for token_bigrams at sf0.1); the exchange carries the 5
+    narrow base columns and everything downstream parallelizes."""
+    return tokenize_op.tokenize_lines(_spark_lines(spark, sf_dir, spread=True))
 
 
 def _duck_lines() -> str:
