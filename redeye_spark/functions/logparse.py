@@ -368,8 +368,11 @@ def _civil_to_days(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
     return era * 146097 + doe - 719468
 
 
-def _ts_from_components(ts_field: pa.Array) -> tuple[pd.Series, pd.Series, np.ndarray]:
-    """(utc datetime64 series, rfc3339 string series, component-ok mask).
+def _ts_from_components(ts_field: pa.Array) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """(utc epoch MICROSECONDS int64, rfc3339 string array, component-ok
+    mask) — arrow/numpy end to end, no pandas materialization (the
+    mapInArrow parse path consumes these directly). epoch and ts_str
+    are meaningful only where comp_ok is True.
 
     Entirely numeric: no strptime/strftime anywhere. Range validation
     matches chrono: day within month (leap-aware), hour<=23, min/sec<=59.
@@ -401,59 +404,56 @@ def _ts_from_components(ts_field: pa.Array) -> tuple[pd.Series, pd.Series, np.nd
     epoch = (
         _civil_to_days(yyyy, mon, dd) * 86400 + hh * 3600 + mi * 60 + ss - off_min * 60
     )
-    utc = pd.Series(epoch.astype("datetime64[s]")).dt.tz_localize("UTC")
-    utc = utc.where(pd.Series(comp_ok))
 
     mm_str = pc.take(_MONTH_STR_ARR, mon_idx)
     ts_str_arr = pc.binary_join_element_wise(
         f["yyyy"], "-", mm_str, "-", f["dd"], "T", f["hh"], ":", f["mi"], ":", f["ss"],
         f["osign"], f["ohh"], ":", f["omm"], "",
     )
-    ts_str = pd.Series(ts_str_arr.to_pandas()).where(pd.Series(comp_ok))
-    return utc, ts_str, comp_ok
+    return epoch * 1_000_000, ts_str_arr, comp_ok
 
 
-def _u64_arrow(field: pa.Array) -> tuple[pd.Series, np.ndarray]:
-    """(Int64 values, error mask) with Rust u64 semantics, arrow-side."""
+def _u64_arrow(field: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """(int64 arrow array, error mask) with Rust u64 semantics."""
     dashless = pc.if_else(pc.equal(field, "-"), pa.scalar(None, pa.string()), field)
     fast_ok = pc.match_substring_regex(dashless, _RE2_U64)
     # arrow's string->int cast rejects a leading '+' (the regex already
     # guarantees at most one)
     digits = pc.utf8_ltrim(dashless, "+")
     vals_arr = pc.cast(pc.if_else(fast_ok, digits, pa.scalar(None, pa.string())), pa.int64())
-    # Null-aware conversion: a plain to_pandas() on an int64 array holding
-    # ANY null goes through float64 and silently rounds values in
-    # (2^53, 2^63) — e.g. 9007199254740993 -> ...992. Build the masked
-    # Int64 extension array straight from the int64 buffer instead.
-    mask = ~np.asarray(vals_arr.is_valid())
-    ints = vals_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-    vals = pd.Series(pd.arrays.IntegerArray(ints, mask))
     present = dashless.is_valid().to_numpy(zero_copy_only=False)
     ok = np.asarray(fast_ok.fill_null(False))
     err = present & ~ok
     if err.any():
         # exact re-check for >18-digit candidates (u64 up to 2^64-1; values
-        # above i64::MAX are flagged, documented deviation)
+        # above i64::MAX are flagged, documented deviation). Rare branch:
+        # goes through python ints row-wise for exactness, then rebuilds
+        # the arrow array (a float64 round trip would silently round
+        # values in (2^53, 2^63)).
         slow = pd.Series(dashless.to_pandas())[err]
         good = slow.str.fullmatch(_U64_RE).fillna(False)
-        for i, v in slow[good].items():
-            iv = int(v)
-            if iv <= _I64_MAX:
-                vals_obj = vals.astype("object")
-                vals_obj[i] = iv
-                vals = vals_obj.astype("Int64")
+        patched = {i: int(v) for i, v in slow[good].items() if int(v) <= _I64_MAX}
+        if patched:
+            base = vals_arr.to_pylist()
+            for i, iv in patched.items():
+                base[i] = iv
                 err[i] = False
-    return vals, err
+            vals_arr = pa.array(base, type=pa.int64())
+    return vals_arr, err
 
 
-def parse_lines(lines, fmt: str = FORMAT_COMMON) -> pd.DataFrame:
-    """Parse a batch of raw log lines into the redeye superset schema.
+_TS_US = pa.timestamp("us", tz="UTC")
 
-    Accepts a pandas Series or a pyarrow StringArray (the detokenizer can
-    hand over its arrow output zero-copy). Output columns/dtypes match
-    parse_lines_pandas exactly; see module docstring for semantics and
-    reference citations. RE2-vectorized (pyarrow.compute) — ~6x the
-    throughput of the pandas reference path.
+
+def parse_lines_arrow(lines, fmt: str = FORMAT_COMMON) -> dict[str, pa.Array]:
+    """Parse a batch of raw log lines into the redeye superset schema,
+    ARROW-NATIVE: returns an ordered {column: pa.Array} dict with no
+    pandas materialization anywhere on the fast path (guide §4.2 — a
+    million-row batch otherwise allocates ~14 Python objects per row
+    just to cross back into the JVM). ``parse_lines`` is the thin
+    pandas adapter over this core; the mapInArrow parse operators
+    consume the dict directly. Semantics and reference citations as in
+    the module docstring.
     """
     if fmt == FORMAT_COMBINED:
         pat = _RE2_COMBINED
@@ -480,7 +480,7 @@ def parse_lines(lines, fmt: str = FORMAT_COMMON) -> pd.DataFrame:
         v = pc.struct_field(ext, name)
         fields[name] = pc.if_else(pc.equal(v, "-"), null_str, v)  # parser.rs:522-528
 
-    ts_utc, ts_str, comp_ok = _ts_from_components(fields["_ts_raw"])
+    epoch_us, ts_str_arr, comp_ok = _ts_from_components(fields["_ts_raw"])
     ts_present = fields["_ts_raw"].is_valid().to_numpy(zero_copy_only=False)
     ts_err = ts_present & ~comp_ok
     if ts_err.any():
@@ -490,46 +490,85 @@ def parse_lines(lines, fmt: str = FORMAT_COMMON) -> pd.DataFrame:
         utc_f, str_f, err_f = _parse_timestamp(raw_slow.astype("string"))
         fixed = ~err_f & utc_f.notna()
         if fixed.any():
-            ts_utc = ts_utc.astype("object")
-            ts_utc[utc_f.index[fixed]] = utc_f[fixed]
-            ts_utc = pd.to_datetime(ts_utc, errors="coerce", utc=True)
-            ts_str = ts_str.astype("object")
-            ts_str[str_f.index[fixed]] = str_f[fixed]
-            ts_err[utc_f.index[fixed]] = False
+            idxs = utc_f.index[fixed].to_numpy()
+            epoch_us = epoch_us.copy()
+            epoch_us[idxs] = (
+                pd.to_datetime(utc_f[fixed], utc=True).astype("int64") // 1000
+            ).to_numpy()
+            comp_ok = comp_ok.copy()
+            comp_ok[idxs] = True
+            ts_err[idxs] = False
+            s = pd.Series(ts_str_arr.to_pandas())
+            s[str_f.index[fixed]] = str_f[fixed]
+            ts_str_arr = pa.array(s, type=pa.string(), from_pandas=True)
 
     status, status_err = _u64_arrow(pc.struct_field(ext, "_status_raw"))
     length, length_err = _u64_arrow(pc.struct_field(ext, "_length_raw"))
 
     # Precedence: no-match > timestamp (capture 4, parser.rs:157) > ints.
-    error_kind = np.full(n, None, dtype=object)
-    error_kind[(status_err | length_err) & ~nomatch] = ERR_PARSE
-    error_kind[ts_err & ~nomatch] = ERR_TIMESTAMP
-    error_kind[nomatch] = ERR_PARSE
-    ok = pd.Series(error_kind == None)  # noqa: E711
+    ints_err = (status_err | length_err) & ~nomatch
+    tse = ts_err & ~nomatch
+    ok_np = ~(nomatch | tse | ints_err)
+    ok = pa.array(ok_np)
+    err_parse = pa.scalar(ERR_PARSE, pa.string())
+    error_kind = pc.if_else(
+        pa.array(nomatch), err_parse,
+        pc.if_else(
+            pa.array(tse), pa.scalar(ERR_TIMESTAMP, pa.string()),
+            pc.if_else(pa.array(ints_err), err_parse, null_str),
+        ),
+    )
 
     def col(name):
         if name in fields:
-            return pd.Series(fields[name].to_pandas()).where(ok)
-        return pd.Series([None] * n, dtype=object)
+            return pc.if_else(ok, fields[name], null_str)
+        return pa.nulls(n, pa.string())
 
-    out = pd.DataFrame(
-        {
-            "remote_host": col("remote_host"),
-            "ident": col("ident"),
-            "remote_user": col("remote_user"),
-            "timestamp": ts_utc.where(ok),
-            "timestamp_str": pd.Series(ts_str).where(ok),
-            "requested_url": col("requested_url"),
-            "method": col("method"),
-            "requested_uri": col("requested_uri"),
-            "protocol": col("protocol"),
-            "status_code": status.where(ok),
-            "content_length": length.where(ok),
-            "referer": col("referer"),
-            "user_agent": col("user_agent"),
-            "version": pd.Series(np.where(ok, OUTPUT_VERSION, None)),
-            "message": pd.Series(trimmed.to_pandas()),  # parser.rs:165,306
-            "error_kind": pd.Series(error_kind),
-        }
+    ts_arr = pc.if_else(
+        pa.array(ok_np & comp_ok),
+        pa.array(epoch_us, type=pa.int64()).cast(pa.timestamp("us")).cast(_TS_US),
+        pa.scalar(None, _TS_US),
     )
-    return out
+    ts_str_masked = pc.if_else(pa.array(ok_np & comp_ok), ts_str_arr, null_str)
+
+    return {
+        "remote_host": col("remote_host"),
+        "ident": col("ident"),
+        "remote_user": col("remote_user"),
+        "timestamp": ts_arr,
+        "timestamp_str": ts_str_masked,
+        "requested_url": col("requested_url"),
+        "method": col("method"),
+        "requested_uri": col("requested_uri"),
+        "protocol": col("protocol"),
+        "status_code": pc.if_else(ok, status, pa.scalar(None, pa.int64())),
+        "content_length": pc.if_else(ok, length, pa.scalar(None, pa.int64())),
+        "referer": col("referer"),
+        "user_agent": col("user_agent"),
+        "version": pc.if_else(ok, pa.scalar(OUTPUT_VERSION, pa.string()), null_str),
+        "message": trimmed,  # parser.rs:165,306
+        "error_kind": error_kind,
+    }
+
+
+def parse_lines(lines, fmt: str = FORMAT_COMMON) -> pd.DataFrame:
+    """Parse a batch of raw log lines into the redeye superset schema.
+
+    Accepts a pandas Series or a pyarrow StringArray. Thin pandas
+    adapter over ``parse_lines_arrow`` (single source of truth); output
+    columns/semantics match parse_lines_pandas exactly — nullable-int
+    columns are rebuilt as masked Int64 straight from the int64 buffer
+    (a float64 round trip would silently round values in (2^53, 2^63)).
+    """
+    cols = parse_lines_arrow(lines, fmt)
+
+    def to_pd(name: str, a: pa.Array):
+        if name in ("status_code", "content_length"):
+            mask = ~np.asarray(a.is_valid())
+            ints = a.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pd.Series(pd.arrays.IntegerArray(ints, mask))
+        if name == "timestamp":
+            return pd.Series(a.to_pandas()).dt.tz_convert("UTC")
+        return pd.Series(a.to_pandas())
+
+    return pd.DataFrame({name: to_pd(name, a) for name, a in cols.items()})

@@ -37,6 +37,97 @@ def tokens_list_array(lines) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
 
 
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], bytes uint8) of a StringArray, slice-aware:
+    raw buffers are unsliced, so index by the array's offset."""
+    o, n = arr.offset, len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[o : o + n + 1].astype(np.int64)
+    buf = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return offs, buf
+
+
+def tokens_list_from_string_array(arr: pa.Array) -> pa.ListArray:
+    """pa.StringArray -> list<int32> token column, zero-copy carve of
+    the same byte buffer (the arrow-input twin of tokens_list_array;
+    identical tokens for identical strings). Nulls fall back to the
+    pandas path, which renders them as the literal 'None' exactly like
+    tokens_list_array's astype(str)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        return tokens_list_array(arr.to_pandas())
+    offs, buf = _string_buffers(arr)
+    lo = offs[0]
+    values = pa.array((buf[lo : offs[-1]]).astype(np.int32), type=pa.int32())
+    return pa.ListArray.from_arrays(
+        pa.array((offs - lo).astype(np.int32), type=pa.int32()), values
+    )
+
+
+def detokenize_list_array(arr: pa.Array) -> pa.StringArray:
+    """list<int32> arrow column -> StringArray by reinterpreting the
+    token values as UTF-8 bytes — the zero-object-materialization twin
+    of ``detokenize`` for the mapInArrow parse path (the pandas version
+    allocates one ndarray per row just to re-flatten them). Identical
+    output: same byte range check, same full UTF-8 validation."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    o, n = arr.offset, len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[o : o + n + 1].astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    flat = vals[offs[0] : offs[-1]]
+    if flat.size and (flat.min() < 0 or flat.max() > 255):
+        raise ValueError("token out of byte range [0, 255]")
+    out = pa.StringArray.from_buffers(
+        n,
+        pa.py_buffer((offs - offs[0]).astype(np.int32).tobytes()),
+        pa.py_buffer(flat.astype(np.uint8).tobytes()),
+    )
+    out.validate(full=True)  # UTF-8 validation over the whole buffer at once
+    return out
+
+
+def tokens_equal_arrow(lines: pa.Array, tokens: pa.Array) -> np.ndarray:
+    """Vectorized per-row check tokenize(lines[i]) == tokens[i] over
+    arrow inputs — same reduceat comparison as ``tokens_equal`` without
+    per-row object handling."""
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    n = len(lines)
+    if n == 0:
+        return np.empty(0, dtype=bool)
+    if lines.null_count:
+        lines = lines.fill_null("")
+    line_off, line_buf_all = _string_buffers(lines)
+    o = tokens.offset
+    tok_off = np.frombuffer(tokens.buffers()[1], dtype=np.int32)[o : o + n + 1].astype(np.int64)
+    tok_vals = tokens.values.to_numpy(zero_copy_only=False)
+
+    tok_lens = np.diff(tok_off)
+    line_lens = np.diff(line_off)
+    len_eq = tok_lens == line_lens
+    result = len_eq.copy()
+
+    idx = np.nonzero(len_eq & (tok_lens > 0))[0]
+    if idx.size == 0:
+        return result
+    seg_lens = tok_lens[idx]
+    offs = _ranges(seg_lens)
+    eq = tok_vals[np.repeat(tok_off[idx], seg_lens) + offs] == line_buf_all[
+        np.repeat(line_off[idx], seg_lens) + offs
+    ]
+    bounds = np.zeros(len(idx), dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=bounds[1:])
+    result[idx] = np.logical_and.reduceat(eq, bounds)
+    return result
+
+
 def tokenize(lines: pd.Series) -> pd.Series:
     """UTF-8-byte tokenizer: str -> array<int32>, one int per byte."""
     arr = pa.array(lines.astype(str), type=pa.string())

@@ -41,26 +41,133 @@ def parse_sequences(
         df = df.repartition(num_partitions)
 
     schema = parsed_schema(carry_tokens)
+    names = [f.name for f in schema.fields]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
         import pyarrow as _pa
+
+        from ..functions.logparse import parse_lines_arrow
+        from ..functions.tokens import detokenize_list_array
 
         # One compute thread per worker: task-level parallelism already
         # fills the cores; 32 workers x default 32-thread arrow pools
         # oversubscribe catastrophically.
         _pa.set_cpu_count(1)
         for b in batches:
-            if len(b) == 0:
+            if b.num_rows == 0:
                 continue
-            lines = detokenize(b["tokens"], as_arrow=True)
-            out = parse_lines(lines, fmt)
-            out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))
-            out.insert(1, "source", b["source"].reset_index(drop=True))
+            toks = b.column(b.schema.get_field_index("tokens"))
+            # zero-copy byte carve from the list buffer: the pandas path
+            # allocated one ndarray per row just to re-flatten them
+            lines = detokenize_list_array(toks)
+            cols = parse_lines_arrow(lines, fmt)
+            arrays = [
+                b.column(b.schema.get_field_index("doc_id")),
+                b.column(b.schema.get_field_index("source")),
+            ]
             if carry_tokens:
-                out.insert(2, "tokens", b["tokens"].reset_index(drop=True))
-            yield out
+                arrays.append(toks)
+            arrays.extend(cols.values())
+            yield _pa.RecordBatch.from_arrays(arrays, names)
 
-    return df.mapInPandas(fn, schema=schema)
+    return df.mapInArrow(fn, schema=schema)
+
+
+def parquet_scan_files(df: DataFrame) -> list[str] | None:
+    """If ``df`` is a bare, local, batch parquet scan of the
+    RAW_SEQUENCES shape (no filters/projections/limits on top), return
+    its data-file paths; else None.
+
+    This powers the columnar-source fast path below: Spark's
+    JVM-row -> Arrow conversion of the token column (one loop iteration
+    per token element) costs more than the parse itself, and it is pure
+    overhead when the source is already columnar parquet the Python
+    worker could read directly. The detection is deliberately
+    conservative — anything but the exact pattern falls back to the
+    general ``parse_sequences`` path.
+    """
+    from ..schema import RAW_SEQUENCES
+
+    if df.isStreaming:
+        return None
+    if [f.name for f in df.schema.fields] != [f.name for f in RAW_SEQUENCES.fields]:
+        return None
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        if "Parquet" not in plan.relation().fileFormat().toString():
+            return None
+        files = list(df.inputFiles())
+    except Exception:
+        return None
+    if len(files) > 200_000:
+        # a millions-of-files table would make the driver-built paths
+        # relation itself the bottleneck; the general scan path handles
+        # that case (and compaction is the real fix)
+        return None
+    paths = []
+    for f in files:
+        if f.startswith("file://"):
+            paths.append(f[len("file://"):])
+        elif f.startswith("/"):
+            paths.append(f)
+        else:  # object store / non-local scheme: stay on the general path
+            return None
+    return paths or None
+
+
+def parse_sequence_files(
+    spark,
+    files: list[str],
+    fmt: str = FORMAT_COMMON,
+    carry_tokens: bool = True,
+    batch_rows: int = 10_000,
+) -> DataFrame:
+    """Columnar-source parse (guide §8 'read your own slice'): each task
+    reads its parquet files with pyarrow and parses them, so the token
+    arrays go parquet -> Arrow -> parse with ZERO JVM row
+    materialization (measured: the JVM->Python round trip of the token
+    column costs ~2x the parse kernel itself). Output rows are
+    identical to scan -> parse_sequences; only the task boundary moves
+    from byte splits to whole files (the corpus writer's ~100k-row
+    chunks), which at any scale still gives several waves per slot."""
+    schema = parsed_schema(carry_tokens)
+    names = [f.name for f in schema.fields]
+    # one path per partition: a JVM LocalRelation round-robined into
+    # len(files) partitions (a python-RDD parallelize here would add a
+    # pickled-RDD python round trip to EVERY task — measured ~0.5 s/task
+    # of pure overhead). Deterministic under retry: each task re-reads
+    # the same file.
+    pdf = spark.createDataFrame([(p,) for p in files], "path string") \
+        .repartition(len(files))
+
+    def fn(batches):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from ..functions.logparse import parse_lines_arrow
+        from ..functions.tokens import detokenize_list_array
+
+        _pa.set_cpu_count(1)
+        for b in batches:
+            for path in b.column(0).to_pylist():
+                pf = _pq.ParquetFile(path)
+                for rb in pf.iter_batches(
+                    batch_size=batch_rows, columns=["doc_id", "tokens", "source"]
+                ):
+                    if rb.num_rows == 0:
+                        continue
+                    toks = rb.column(1)
+                    lines = detokenize_list_array(toks)
+                    cols = parse_lines_arrow(lines, fmt)
+                    arrays = [rb.column(0), rb.column(2)]
+                    if carry_tokens:
+                        arrays.append(toks.cast(_pa.list_(_pa.int32())))
+                    arrays.extend(cols.values())
+                    yield _pa.RecordBatch.from_arrays(arrays, names)
+
+    return pdf.mapInArrow(fn, schema=schema)
 
 
 def parse_raw_lines(
@@ -88,8 +195,6 @@ def parse_raw_lines(
     """
     from pyspark.sql import types as T
 
-    from ..functions.tokens import tokens_list_array
-
     if num_partitions:
         df = df.repartition(num_partitions)
 
@@ -98,27 +203,40 @@ def parse_raw_lines(
         schema = T.StructType(
             schema.fields + [T.StructField("token_ok", T.BooleanType())]
         )
+    names = [f.name for f in schema.fields]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
         import pyarrow as _pa
+
+        from ..functions.logparse import parse_lines_arrow
+        from ..functions.tokens import (
+            tokens_equal_arrow,
+            tokens_list_from_string_array,
+        )
 
         _pa.set_cpu_count(1)
         for b in batches:
-            if len(b) == 0:
+            if b.num_rows == 0:
                 continue
-            out = parse_lines(b["line"], fmt)
-            out.insert(0, "doc_id", b["doc_id"].reset_index(drop=True))
-            out.insert(1, "source", b["source"].reset_index(drop=True))
+            lines = b.column(b.schema.get_field_index("line"))
+            cols = parse_lines_arrow(lines, fmt)
+            arrays = [
+                b.column(b.schema.get_field_index("doc_id")),
+                b.column(b.schema.get_field_index("source")),
+            ]
+            toks = None
             if carry_tokens or validate:
-                toks = tokens_list_array(b["line"])
-                tok_series = toks.to_pandas().reset_index(drop=True)
-                if carry_tokens:
-                    out.insert(2, "tokens", tok_series)
-                if validate:
-                    out["token_ok"] = tokens_equal(out["message"], tok_series)
-            yield out
+                toks = tokens_list_from_string_array(lines)
+            if carry_tokens:
+                arrays.append(toks)
+            arrays.extend(cols.values())
+            if validate:
+                arrays.append(
+                    _pa.array(tokens_equal_arrow(cols["message"], toks))
+                )
+            yield _pa.RecordBatch.from_arrays(arrays, names)
 
-    return df.mapInPandas(fn, schema=schema)
+    return df.mapInArrow(fn, schema=schema)
 
 
 def validate_tokens(parsed: DataFrame) -> DataFrame:

@@ -48,9 +48,24 @@ def build_tagged(
     source_dim: DataFrame | None = None,
 ) -> DataFrame:
     """raw sequences -> parsed + enriched + sink-tagged DataFrame (lazy)."""
-    parsed = parse_op.parse_sequences(
-        raw, fmt=cfg.fmt, carry_tokens=cfg.carry_tokens, num_partitions=cfg.num_partitions
-    )
+    # Columnar-source fast path: when `raw` is a bare local parquet scan
+    # of the input shape (the common case — and the bench corpus), each
+    # parse task reads its own files with pyarrow instead of paying
+    # Spark's per-element JVM-row->Arrow conversion of the token column
+    # (measured ~2x the parse kernel at 2 cores). Identical output rows;
+    # anything else (streaming, filtered, in-memory, non-local, explicit
+    # num_partitions request) stays on the general scan->parse path.
+    files = None
+    if cfg.num_partitions is None:
+        files = parse_op.parquet_scan_files(raw)
+    if files:
+        parsed = parse_op.parse_sequence_files(
+            spark, files, fmt=cfg.fmt, carry_tokens=cfg.carry_tokens
+        )
+    else:
+        parsed = parse_op.parse_sequences(
+            raw, fmt=cfg.fmt, carry_tokens=cfg.carry_tokens, num_partitions=cfg.num_partitions
+        )
     enriched = enrich_op.enrich(
         parsed,
         enrich_op.dim_status_class(spark),
@@ -115,7 +130,29 @@ def run_pipeline(
             ],
             F.sum(F.col("sink").isNull().cast("long")).alias("_null_sink"),
         )
-    io.write(tagged, events_table, mode=write_mode, partition_by=["sink"])
+    # Writer tuning for the events sink (measured at 2 cores / 1.2M rows:
+    # ~24 s -> ~21 s for the write job): columns that are unique-ish per
+    # row BY CONSTRUCTION (ids, raw message, per-event timestamps/urls)
+    # gain nothing from parquet dictionary encoding — the writer builds
+    # a dictionary per column chunk only to fall back to plain — and the
+    # default 1 MB page granularity spends measurable CPU on page
+    # flush/headers for wide rows. Dictionaries stay ON for the
+    # genuinely low-cardinality columns (method, protocol, status_code,
+    # source, ua, version, error_kind), which is where they pay at scale.
+    events_writer_options = {
+        **{
+            f"parquet.enable.dictionary#{c}": "false"
+            for c in (
+                "doc_id", "message", "timestamp_str", "timestamp",
+                "remote_host", "requested_url", "requested_uri",
+                "content_length",
+            )
+        },
+        "parquet.page.size": str(4 * 1024 * 1024),
+        "parquet.page.row.count.limit": "200000",
+    }
+    io.write(tagged, events_table, mode=write_mode, partition_by=["sink"],
+             options=events_writer_options)
 
     events_back = io.read(spark, events_table)
     counts = agg_op.salted_counts(events_back, cfg.bucket_granularity, cfg.salt_buckets) \

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import importance
+from ._shared import _spread
 
 # Shared SQL fragments — word split and md5 bucket EXACTLY as the Spark
 # side computes them (text.words / sampling.hash_bucket).
@@ -59,7 +60,10 @@ def q_dsir_bucket_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level hashed-unigram distribution cells (bucket,
     n_target, n_raw): the fit artifact of DSIR — integer, mergeable
     across shards, computed in one explode -> partial-agg pass."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _spread: the 1-row-group documents scan is unsplittable; without
+    # the exchange the word explode + partial aggregation run on one
+    # core. Hash-bucket counts are partitioning-invariant.
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return importance.bucket_ratios(docs, _target()).select(
         "bucket", "n_target", "n_raw"
     )
@@ -69,14 +73,20 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DSIR importance scores on the 1e-6 grid — exact
     int64 dot product of hashed counts with the quantized log-ratio
     table (broadcast, 256 rows)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _spread: the 1-row-group documents scan is unsplittable; without
+    # the exchange the word explode + partial aggregation run on one
+    # core. Hash-bucket counts are partitioning-invariant.
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return importance.dsir_scores(docs, _target())
 
 
 def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic importance resampling (greedy top-100, id
     tiebreak) — plans as TakeOrderedAndProject."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _spread: the 1-row-group documents scan is unsplittable; without
+    # the exchange the word explode + partial aggregation run on one
+    # core. Hash-bucket counts are partitioning-invariant.
+    docs = _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return importance.dsir_top_docs(docs, _target(), n=100)
 
 

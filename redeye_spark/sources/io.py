@@ -19,7 +19,8 @@ class TableIO:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         raise NotImplementedError
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None,
+              options: dict | None = None) -> None:
         raise NotImplementedError
 
     def location(self, table: str) -> str:
@@ -48,7 +49,8 @@ class ParquetIO(TableIO):
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.format(self._fmt).load(self.location(table))
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None,
+              options: dict | None = None) -> None:
         # 'overwrite_partitions' = replace only the partitions present in
         # df (dynamic partition overwrite) — the idempotent commit unit
         # for checkpoint resume. Plain 'overwrite' pins static mode so a
@@ -61,6 +63,10 @@ class ParquetIO(TableIO):
             w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        # writer-tuning pass-through (e.g. per-column parquet dictionary
+        # control); format-foreign keys are ignored by the writer
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         w.format(self._fmt).save(self.location(table))
 
     def delete(self, spark: SparkSession, table: str) -> None:
@@ -92,8 +98,11 @@ class IcebergIO(TableIO):
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.format("iceberg").load(self.location(table))
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None,
+              options: dict | None = None) -> None:
         writer = df.writeTo(self.location(table))
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
         if partition_by:
             from pyspark.sql import functions as F
 

@@ -479,3 +479,56 @@ class TestObserveCounterContract:
         assert None in res.sink_rows                       # NULL sinks counted
         assert res.rows_in == 500                          # nothing vanished
         assert res.sink_rows["sink_2xx"] + res.sink_rows[None] == 500
+
+
+class TestColumnarSourceFastPath:
+    """parse_sequence_files (the pyarrow-reads-its-own-files parse) must
+    be row-identical to scan -> parse_sequences, and the build_tagged
+    detection must only fire on bare local parquet scans of the input
+    shape."""
+
+    @pytest.fixture(scope="class")
+    def corpus_dir(self, tmp_path_factory):
+        from redeye_spark.sources.datagen import write_input_table
+
+        d = str(tmp_path_factory.mktemp("fastpath") / "corpus")
+        write_input_table(d, 2000, fmt=FORMAT_COMBINED, seed=13, chunk=500)
+        return d
+
+    def test_detection_fires_on_bare_scan_only(self, spark, corpus_dir, gen):
+        raw = spark.read.parquet(corpus_dir)
+        files = parse_op.parquet_scan_files(raw)
+        assert files and len(files) == 4 and all(f.endswith(".parquet") for f in files)
+        # filtered scan, projected scan, in-memory frame: all fall back
+        assert parse_op.parquet_scan_files(raw.filter("n_tok > 0")) is None
+        assert parse_op.parquet_scan_files(raw.select("doc_id", "tokens")) is None
+        _, mem = gen
+        assert parse_op.parquet_scan_files(mem) is None
+
+    @pytest.mark.parametrize("carry", [False, True])
+    def test_rows_identical_to_general_path(self, spark, corpus_dir, carry):
+        raw = spark.read.parquet(corpus_dir)
+        general = parse_op.parse_sequences(
+            raw, fmt=FORMAT_COMBINED, carry_tokens=carry
+        ).toPandas()
+        fast = parse_op.parse_sequence_files(
+            spark, parse_op.parquet_scan_files(raw),
+            fmt=FORMAT_COMBINED, carry_tokens=carry,
+        ).toPandas()
+        for df in (general, fast):
+            if carry:
+                df["tokens"] = df["tokens"].map(tuple)
+        g = general.sort_values("doc_id").reset_index(drop=True)
+        f = fast.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, f)
+
+    def test_build_tagged_uses_fast_path_for_parquet_scan(self, spark, corpus_dir):
+        from redeye_spark.plans.pipeline import PipelineConfig, build_tagged
+
+        raw = spark.read.parquet(corpus_dir)
+        plan = build_tagged(
+            spark, raw, PipelineConfig(fmt=FORMAT_COMBINED, num_partitions=None)
+        )._jdf.queryExecution().executedPlan().toString()
+        # fast path: no parquet Scan feeding MapInArrow — the paths
+        # relation replaces it
+        assert "Scan parquet" not in plan, plan
