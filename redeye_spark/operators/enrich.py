@@ -30,18 +30,43 @@ UA_FAMILIES = [
 ]
 
 
+# The dims are static config tables; building them costs a py4j
+# round-trip + analysis per call, which the pipeline pays on every
+# invocation (it shows up as part of the ~2.5 s per-run constant the
+# bench's 4-executor legs amortize 4x worse than the 1-executor leg).
+# Cache per session.
+_DIM_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached(spark: SparkSession, key: str, build) -> DataFrame:
+    ck = (spark.sparkContext.applicationId, key)
+    df = _DIM_CACHE.get(ck)
+    if df is None:
+        df = build()
+        _DIM_CACHE[ck] = df
+    return df
+
+
 def dim_status_class(spark: SparkSession) -> DataFrame:
-    rows = [(code, f"{code // 100}xx") for code in range(100, 600)]
-    return spark.createDataFrame(rows, DIM_STATUS_CLASS)
+    return _cached(
+        spark, "status_class",
+        lambda: spark.createDataFrame(
+            [(code, f"{code // 100}xx") for code in range(100, 600)],
+            DIM_STATUS_CLASS,
+        ),
+    )
 
 
 def dim_ua_family(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(UA_FAMILIES, DIM_UA_FAMILY)
+    return _cached(
+        spark, "ua_family",
+        lambda: spark.createDataFrame(UA_FAMILIES, DIM_UA_FAMILY),
+    )
 
 
 def enrich(
     parsed: DataFrame,
-    status_dim: DataFrame,
+    status_dim: DataFrame | None,
     ua_dim: DataFrame | None = None,
     source_dim: DataFrame | None = None,
 ) -> DataFrame:
@@ -54,10 +79,12 @@ def enrich(
     'unknown' class) while absent inputs stay NULL — enrichment must not
     resurrect fields redeye omitted.
     """
-    out = parsed.join(F.broadcast(status_dim), on="status_code", how="left").withColumn(
-        "status_class",
-        F.when(F.col("status_code").isNotNull(), F.coalesce(F.col("status_class"), F.lit("unknown"))),
-    )
+    out = parsed
+    if status_dim is not None:
+        out = out.join(F.broadcast(status_dim), on="status_code", how="left").withColumn(
+            "status_class",
+            F.when(F.col("status_code").isNotNull(), F.coalesce(F.col("status_class"), F.lit("unknown"))),
+        )
     if ua_dim is not None:
         out = (
             out.withColumn("ua_token", F.regexp_extract(F.col("user_agent"), UA_TOKEN_RE, 1))
@@ -71,6 +98,52 @@ def enrich(
     if source_dim is not None:
         out = out.join(F.broadcast(source_dim), on="source", how="left")
     return out
+
+
+def enrich_expr(parsed: DataFrame) -> DataFrame:
+    """Expression-based twin of ``enrich(parsed, dim_status_class,
+    dim_ua_family)`` — value-identical by construction, zero joins.
+
+    Both default dims are deterministic FUNCTIONS of the row (the
+    status class is arithmetic on status_code; the ua family is a
+    10-entry static map over the leading UA token), so the pipeline's
+    hot path computes them as codegen CASE expressions instead of
+    paying two broadcast-exchange stages per action (~0.45 s of fixed
+    query-stage latency each under AQE — 13% of a bench executor leg).
+    The join-based ``enrich`` remains the general operator for
+    genuinely tabular dims (e.g. source_meta) and is still what the
+    broadcast-join demo query plans through.
+
+    Equivalences mirrored from the join path:
+      * status_code NULL -> class NULL; in [100,600) -> '<d>xx'
+        (same string the dim table carries); present but outside the
+        dim's range -> 'unknown'.
+      * user_agent NULL -> family NULL; leading token in the 10-entry
+        table -> its family; anything else (including the '' token a
+        non-matching regexp_extract yields) -> 'other'.
+    """
+    status = F.col("status_code")
+    status_class = F.when(
+        status.isNotNull(),
+        F.coalesce(
+            F.when(
+                (status >= 100) & (status < 600),
+                F.concat(F.floor(status / 100).cast("string"), F.lit("xx")),
+            ),
+            F.lit("unknown"),
+        ),
+    )
+    tok = F.regexp_extract(F.col("user_agent"), UA_TOKEN_RE, 1)
+    fam = None
+    for token, family in UA_FAMILIES:
+        branch = F.when(tok == token, F.lit(family))
+        fam = branch if fam is None else fam.when(tok == token, F.lit(family))
+    ua_family = F.when(
+        F.col("user_agent").isNotNull(), F.coalesce(fam, F.lit("other"))
+    )
+    return parsed.withColumn("status_class", status_class).withColumn(
+        "ua_family", ua_family
+    )
 
 
 def range_enrich(

@@ -134,13 +134,14 @@ def parse_sequence_files(
     chunks), which at any scale still gives several waves per slot."""
     schema = parsed_schema(carry_tokens)
     names = [f.name for f in schema.fields]
-    # one path per partition: a JVM LocalRelation round-robined into
-    # len(files) partitions (a python-RDD parallelize here would add a
-    # pickled-RDD python round trip to EVERY task — measured ~0.5 s/task
-    # of pure overhead). Deterministic under retry: each task re-reads
-    # the same file.
-    pdf = spark.createDataFrame([(p,) for p in files], "path string") \
-        .repartition(len(files))
+    # one file index per partition via a natively-partitioned range —
+    # no exchange at all (a repartition here cost a 2-stage AQE job per
+    # action; a python-RDD parallelize cost a pickled-RDD python round
+    # trip per task — both measured and removed). The path list rides
+    # the task binary (broadcast once per stage). Deterministic under
+    # retry: each task re-reads the same file.
+    file_list = list(files)
+    pdf = spark.range(0, len(file_list), 1, len(file_list))
 
     def fn(batches):
         import pyarrow as _pa
@@ -151,7 +152,7 @@ def parse_sequence_files(
 
         _pa.set_cpu_count(1)
         for b in batches:
-            for path in b.column(0).to_pylist():
+            for path in (file_list[i] for i in b.column(0).to_pylist()):
                 pf = _pq.ParquetFile(path)
                 for rb in pf.iter_batches(
                     batch_size=batch_rows, columns=["doc_id", "tokens", "source"]

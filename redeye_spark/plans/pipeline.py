@@ -66,12 +66,14 @@ def build_tagged(
         parsed = parse_op.parse_sequences(
             raw, fmt=cfg.fmt, carry_tokens=cfg.carry_tokens, num_partitions=cfg.num_partitions
         )
-    enriched = enrich_op.enrich(
-        parsed,
-        enrich_op.dim_status_class(spark),
-        enrich_op.dim_ua_family(spark),
-        source_dim,
-    )
+    # Static dims (status class, ua family) are deterministic functions
+    # of the row — computed as codegen expressions (value-identical to
+    # the broadcast joins, see enrich_expr) instead of paying two
+    # AQE broadcast-stage latencies per action. A real tabular dim
+    # (source_dim) still joins.
+    enriched = enrich_op.enrich_expr(parsed)
+    if source_dim is not None:
+        enriched = enrich_op.enrich(enriched, None, None, source_dim)
     return route_op.tag_routes(enriched, cfg.routes)
 
 

@@ -73,12 +73,14 @@ GROUP BY 1, 2
 
 
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate fan-out totality: rows per sink."""
+    """Predicate fan-out totality: rows per sink.
+
+    enrich_expr: the static dims are deterministic functions, computed
+    as codegen expressions (value-identical to the broadcast joins —
+    same oracle) instead of two AQE broadcast-stage latencies; the
+    join-based path stays exercised by enrich_status_class."""
     parsed = _parsed(spark, sf_dir)
-    enriched = enrich_op.enrich(
-        parsed, enrich_op.dim_status_class(spark), enrich_op.dim_ua_family(spark)
-    )
-    return route_op.route_counts(route_op.tag_routes(enriched))
+    return route_op.route_counts(route_op.tag_routes(enrich_op.enrich_expr(parsed)))
 
 
 SQL_ROUTE_COUNTS = f"""
@@ -97,10 +99,8 @@ def q_agg_counts_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink hourly aggregate via the SALTED two-phase path; bucket
     returned as string to keep cross-engine hashing exact."""
     parsed = _parsed(spark, sf_dir)
-    enriched = enrich_op.enrich(
-        parsed, enrich_op.dim_status_class(spark), enrich_op.dim_ua_family(spark)
-    )
-    tagged = route_op.tag_routes(enriched)
+    # enrich_expr: see q_route_counts — value-identical, join-free
+    tagged = route_op.tag_routes(enrich_op.enrich_expr(parsed))
     counts = agg_op.salted_counts(tagged, "hour", salt_buckets=8)
     return counts.select(
         "sink",

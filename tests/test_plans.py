@@ -30,12 +30,47 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
-def test_enrich_joins_are_broadcast(spark, raw_path):
+def test_pipeline_static_enrich_is_join_free(spark, raw_path):
+    """The static dims (status class, ua family) are deterministic
+    functions of the row — the pipeline computes them as codegen
+    expressions (enrich_expr), so the tagged plan must carry NO join at
+    all; only a genuinely tabular source_dim may add one (broadcast)."""
+    from redeye_spark.sources.datagen import source_meta_frame
+
     raw = spark.read.parquet(raw_path + "/raw")
     tagged = build_tagged(spark, raw, PipelineConfig(fmt=FORMAT_COMBINED))
     plan = plan_of(tagged)
-    assert plan.count("BroadcastHashJoin") >= 2, plan  # status dim + ua dim
-    assert "SortMergeJoin" not in plan, "enrichment must never shuffle the fact stream"
+    assert "Join" not in plan, plan
+    assert "status_class" in plan and "ua_family" in plan, plan
+    # with a real dim table, exactly one broadcast join, never a shuffle
+    src = spark.createDataFrame(source_meta_frame())
+    tagged2 = build_tagged(spark, raw, PipelineConfig(fmt=FORMAT_COMBINED), src)
+    plan2 = plan_of(tagged2)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan2)) == 1, plan2
+    assert "SortMergeJoin" not in plan2, "enrichment must never shuffle the fact stream"
+
+
+def test_enrich_expr_matches_join_path(spark, raw_path):
+    """Value-identity of the expression enrich with the broadcast-join
+    enrich on parsed rows (incl. NULL status/ua, out-of-range status)."""
+    from redeye_spark.operators import enrich as enrich_op
+
+    raw = spark.read.parquet(raw_path + "/raw")
+    parsed = parse_op.parse_sequences(raw, fmt=FORMAT_COMBINED, carry_tokens=False)
+    cols = ["doc_id", "status_class", "ua_family"]
+    a = (
+        enrich_op.enrich(
+            parsed, enrich_op.dim_status_class(spark), enrich_op.dim_ua_family(spark)
+        )
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        enrich_op.enrich_expr(parsed)
+        .select(*cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_parse_has_no_shuffle_without_repartition(spark, raw_path):
