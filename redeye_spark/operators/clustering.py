@@ -51,25 +51,41 @@ def quantized(df: DataFrame, vec_col: str = "embedding") -> F.Column:
     )
 
 
-def _dist_expr(qcol, centroid: list[int]) -> F.Column:
-    """Exact squared L2 distance between the quantized vector column and
-    one centroid literal — pure codegen (zip_with + aggregate)."""
-    lit_arr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    diffs = F.zip_with(qcol, lit_arr, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-
 def _assign_expr(qcol, centroids: dict[int, list[int]]) -> F.Column:
     """argmin_j dist(q, c_j), ties to the smallest cluster id: array_min
-    over (dist, cluster) structs compares lexicographically."""
+    over (dist, cluster) structs compares lexicographically.
+
+    The centroid table rides the plan as ONE nested array literal
+    (two F.expr parses) and a single zip_with/aggregate chain, instead
+    of k unrolled distance subtrees of d literal nodes each built
+    through ~k*d py4j calls: the fit re-plans this expression every
+    Lloyd's round, and with the unrolled form the DRIVER-side
+    construct+analyze gap between round jobs (~0.5-0.8 s each at
+    k=4, d=64) dwarfed the sub-0.5 s cluster stages themselves.
+    Arithmetic, comparison order, and tie-breaking are identical —
+    array_min over the same (d, c) structs."""
+    items = sorted(centroids.items())
+    cents = F.expr(
+        "cast(array(%s) as array<array<bigint>>)"
+        % ",".join("array(%s)" % ",".join(str(int(v)) for v in c) for _, c in items)
+    )
+    ids = F.expr(
+        "cast(array(%s) as array<bigint>)"
+        % ",".join(str(int(j)) for j, _ in items)
+    )
     return F.array_min(
-        F.array(*[
-            F.struct(
-                _dist_expr(qcol, c).alias("d"),
-                F.lit(int(j)).cast("long").alias("c"),
-            )
-            for j, c in sorted(centroids.items())
-        ])
+        F.zip_with(
+            cents,
+            ids,
+            lambda c, j: F.struct(
+                F.aggregate(
+                    F.zip_with(qcol, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                j.alias("c"),
+            ),
+        )
     )
 
 

@@ -55,6 +55,98 @@ def ngram_counts(
     return out
 
 
+def byte_ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    line_col: str = "line",
+    min_count: int = 1,
+) -> DataFrame:
+    """(gram:array<int>, n_occurrences) — byte-token n-gram frequencies
+    computed straight from LINE STRINGS, result-identical to
+    ``ngram_counts(tokenize_lines(df), n)``: the tokenizer is one int32
+    token per UTF-8 byte, so the n-grams of the token array ARE the
+    n-byte windows of the string.
+
+    Why a separate entry point (guide §2.3/§4.2): the tokenize ->
+    explode path ships the per-byte ``list<int32>`` token column across
+    the Python->JVM boundary (~5x the line bytes, materialized
+    element-at-a-time) and then explodes ~n_tok rows per doc into the
+    partial aggregate. Here the SAME Python hop that would have
+    tokenized instead counts the n-byte windows per Arrow batch in
+    numpy and emits one (gram, partial_count) row per DISTINCT gram per
+    task — both the Python boundary and the exchange carry
+    key-cardinality-sized data (<= 256^n keys, ~thousands real) instead
+    of the token stream. The final groupBy sums the partials; a sum of
+    per-batch exact counts is the exact corpus count.
+
+    n is capped at 8 so a gram packs into one uint64 key. Null lines
+    tokenize as the literal string 'None' (astype(str)), exactly like
+    tokens_list_array."""
+    if not (1 <= n <= 8):
+        raise ValueError("n must be in 1..8 (gram must pack into uint64)")
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as _pa
+
+        from ..functions.tokens import _ranges, _string_buffers
+
+        _pa.set_cpu_count(1)
+        acc_keys: list = []
+        acc_cnts: list = []
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            arr = b.column(0)
+            if isinstance(arr, _pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if arr.null_count:
+                import pandas as _pd
+
+                arr = _pa.array(
+                    _pd.Series(arr.to_pandas()).astype(str), type=_pa.string()
+                )
+            offs, buf = _string_buffers(arr)
+            n_win = np.diff(offs) - (n - 1)
+            pos = n_win > 0
+            if not pos.any():
+                continue
+            # global start index of every valid window — windows never
+            # cross a line boundary by construction
+            starts = np.repeat(offs[:-1][pos], n_win[pos]) + _ranges(n_win[pos])
+            keys = np.zeros(len(starts), dtype=np.uint64)
+            for k in range(n):
+                keys = (keys << np.uint64(8)) | buf[starts + k].astype(np.uint64)
+            u, c = np.unique(keys, return_counts=True)
+            acc_keys.append(u)
+            acc_cnts.append(c)
+        if not acc_keys:
+            return
+        u, inv = np.unique(np.concatenate(acc_keys), return_inverse=True)
+        sums = np.bincount(inv, weights=np.concatenate(acc_cnts)).astype(np.int64)
+        # decode packed keys back into int32 gram arrays
+        vals = np.empty((len(u), n), dtype=np.int32)
+        for k in range(n):
+            vals[:, n - 1 - k] = (
+                (u >> np.uint64(8 * k)) & np.uint64(255)
+            ).astype(np.int32)
+        grams = _pa.ListArray.from_arrays(
+            _pa.array(
+                np.arange(0, (len(u) + 1) * n, n, dtype=np.int32), type=_pa.int32()
+            ),
+            _pa.array(vals.reshape(-1), type=_pa.int32()),
+        )
+        yield _pa.RecordBatch.from_arrays(
+            [grams, _pa.array(sums, type=_pa.int64())], ["gram", "_pc"]
+        )
+
+    partial = df.select(line_col).mapInArrow(fn, schema="gram array<int>, _pc long")
+    out = partial.groupBy("gram").agg(F.sum("_pc").alias("n_occurrences"))
+    if min_count > 1:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    return out
+
+
 def unigram_stats(
     df: DataFrame,
     tokens_col: str = "tokens",

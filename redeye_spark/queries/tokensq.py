@@ -42,14 +42,19 @@ lines AS (
 
 
 def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide token-bigram frequencies (count >= 200): the
-    explode -> partial-HashAggregate collapses map-side (distinct
-    bigrams number in the low thousands vs millions of gram
-    occurrences), so the shuffle is key-cardinality-sized at any sf."""
+    """Corpus-wide token-bigram frequencies (count >= 200), via the
+    fused byte-window counter (ngrams.byte_ngram_counts): the Python
+    hop that would have tokenized counts the 2-byte windows per Arrow
+    batch and ships one partial count per DISTINCT gram per task, so
+    both the Python boundary and the exchange are key-cardinality-sized
+    at any sf — result-identical to the tokenize -> explode ->
+    partial-agg path (tokens ARE the line's UTF-8 bytes)."""
     from ..operators import ngrams
 
     _utc(spark)
-    out = ngrams.ngram_counts(_raw(spark, sf_dir), n=2, min_count=200)
+    out = ngrams.byte_ngram_counts(
+        _spark_lines(spark, sf_dir, spread=True), n=2, min_count=200
+    )
     return out.select(
         F.element_at("gram", 1).cast("long").alias("t1"),
         F.element_at("gram", 2).cast("long").alias("t2"),
@@ -141,18 +146,20 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import ngrams
 
     _utc(spark)
-    raw = _raw(spark, sf_dir)
-    tot = raw.agg(
-        F.sum("n_tok").alias("tu"),
-        F.sum(F.greatest(F.col("n_tok") - 1, F.lit(0))).alias("tb"),
+    lines = _spark_lines(spark, sf_dir, spread=True)
+    # n_tok == octet_length(line) (one token per UTF-8 byte), so the
+    # totals never need the tokenize hop at all — a pure JVM aggregate
+    tot = lines.agg(
+        F.sum(F.octet_length("line")).alias("tu"),
+        F.sum(F.greatest(F.octet_length("line") - 1, F.lit(0))).alias("tb"),
     ).collect()[0]
     tu, tb = float(tot["tu"]), float(tot["tb"])
-    bi = ngrams.ngram_counts(raw, n=2, min_count=200).select(
+    bi = ngrams.byte_ngram_counts(lines, n=2, min_count=200).select(
         F.element_at("gram", 1).cast("long").alias("t1"),
         F.element_at("gram", 2).cast("long").alias("t2"),
         F.col("n_occurrences").alias("c_xy"),
     )
-    uni = ngrams.ngram_counts(raw, n=1).select(
+    uni = ngrams.byte_ngram_counts(lines, n=1).select(
         F.element_at("gram", 1).cast("long").alias("t"),
         F.col("n_occurrences").alias("c"),
     )
@@ -252,7 +259,9 @@ def q_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import ngrams
 
     _utc(spark)
-    counts = ngrams.ngram_counts(_raw(spark, sf_dir), n=1).select(
+    counts = ngrams.byte_ngram_counts(
+        _spark_lines(spark, sf_dir, spread=True), n=1
+    ).select(
         F.element_at("gram", 1).cast("long").alias("token"),
         F.col("n_occurrences").alias("n"),
     )

@@ -41,6 +41,14 @@ DEFAULT_CONF = {
     # 16 MB keeps aggregate writer memory bounded; raise on clusters with
     # more memory per writer for better scan-side row groups.
     "spark.hadoop.parquet.block.size": str(16 * 1024 * 1024),
+    # v2 commit: task outputs move to the destination at task commit,
+    # instead of a sequential driver-side directory merge at job commit
+    # — the job-commit wall is O(1) instead of O(files). The v2
+    # trade-off (a mid-job failure can leave partial files behind) is
+    # acceptable for overwrite-mode analytic outputs; flows needing
+    # atomic publish (checkpoint chunk commits) already route through
+    # dynamic partition overwrite, which stages per-partition.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
 # Shuffle/spill scratch space: tmpfs when available. The sandbox's root
@@ -83,6 +91,12 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    if os.environ.get("REDEYE_EVENTLOG"):
+        # measurement hook (guide §1): event logs for any session,
+        # including bench exec-workers, without touching the harness
+        os.makedirs("/tmp/spark-events", exist_ok=True)
+        conf["spark.eventLog.enabled"] = "true"
+        conf["spark.eventLog.dir"] = "file:///tmp/spark-events"
     ld = _local_dir()
     if ld:
         conf.setdefault("spark.local.dir", ld)
