@@ -273,29 +273,43 @@ def minhash_lsh_pairs(
         F.col("band_idx"), F.col("band_hash"),
         F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
     )
-    pairs = (
-        l.join(r, on=["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # est is a pure function of the two signatures, so every duplicate
+    # of a pair (a near-dup pair surfaces in MOST of its bands) carries
+    # the same value — computing it BEFORE dropDuplicates lets the
+    # dedup exchange carry (id_a, id_b, est) at ~30 B/row instead of
+    # two num_perm-long signature arrays (~10x the bytes; measured 18 s
+    # of JVM CPU in the join+dedup stage at sf0.1's ~1.1M pre-dedup
+    # candidates). Result-identical: dropDuplicates keeps an arbitrary
+    # copy, but all copies agree on est.
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_perm)
+    pairs = (
+        l.join(r, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est.cast("double").alias("_est"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     if verify is None:
         return (
-            pairs.withColumn("est_jaccard", est.cast("double"))
+            pairs.withColumnRenamed("_est", "est_jaccard")
             .filter(F.col("est_jaccard") >= threshold)
             .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
         )
     if verify != "exact":
         raise ValueError(f"verify must be None or 'exact', got {verify!r}")
 
+    # AQE coalesces the post-dedup exchange by BYTES (~30 B/pair), but
+    # the downstream exact-verify stage pays Python shingle work per
+    # PAIR — a bytes-coalesced 8-partition layout serialized the verify
+    # on a fraction of the cores. Spread the (tiny) candidate rows to
+    # the session's parallelism before the text joins; the pair set and
+    # every downstream value are partitioning-invariant.
     cand = pairs.select(
-        "id_a", "id_b", F.round(est.cast("double"), 4).alias("est_jaccard")
-    )
+        "id_a", "id_b", F.round("_est", 4).alias("est_jaccard")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     texts = df.select(id_col, text_col)
     joined = cand.join(
         texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")),

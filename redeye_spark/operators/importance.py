@@ -99,10 +99,31 @@ def dsir_scores(
     (true score = score_q / 1e6). Exact int64 dot product of the
     document's hashed counts with the quantized log-ratio table; the
     ratio table broadcasts (256 rows)."""
-    feats = hashed_features(df, text_col, id_col)
-    lr = log_ratio_table(bucket_ratios(df, target, text_col, id_col))
+    # ONE explode+hash pass: the corpus-level ratio counts are derived
+    # from the per-document cells (n_raw = sum of cell counts, n_target
+    # = sum over target docs — exact integers either way), instead of a
+    # second full explode+md5 pass over the word stream. The cells'
+    # exchange then feeds both the ratio aggregate and the scoring
+    # join (AQE ReusedExchange), so the word stream is hashed once.
+    # _tgt rides the grouping keys (it is constant per doc, so the
+    # groups are unchanged).
+    wb = df.select(
+        F.col(id_col), target.alias("_tgt"),
+        F.explode(words(F.col(text_col))).alias("_w"),
+    ).select(
+        F.col(id_col), "_tgt", hash_bucket(F.col("_w"), "dsir").alias("bucket")
+    )
+    cells = wb.groupBy(id_col, "_tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ratios = cells.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("cnt")).otherwise(F.lit(0).cast("long")))
+        .alias("n_target"),
+        F.sum("cnt").alias("n_raw"),
+    )
+    lr = log_ratio_table(ratios)
     return (
-        feats.join(F.broadcast(lr), "bucket")
+        cells.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("lr_q")).alias("score_q"))
     )
