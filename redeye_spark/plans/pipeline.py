@@ -169,16 +169,26 @@ def run_pipeline(
     # 2.65 s). Large sequential splits are the right shape for a narrow
     # columnar re-read at any scale (guide §6), so pin 128 MB around
     # this pass and restore the caller's value after.
+    # Also: the read-back passes the writer's schema (skipping the
+    # footer-sampling inference job), and AQE is off for this one pass —
+    # its shuffle carries group-cardinality partial counts (bounded by
+    # the key space, never corpus-sized) over fixed 128 MB scan splits,
+    # so runtime re-planning buys nothing and each AQE stage otherwise
+    # costs an extra job boundary per run.
     _SPLIT_KEY = "spark.sql.files.maxPartitionBytes"
+    _AQE_KEY = "spark.sql.adaptive.enabled"
     prev_split = spark.conf.get(_SPLIT_KEY)
+    prev_aqe = spark.conf.get(_AQE_KEY)
     spark.conf.set(_SPLIT_KEY, str(128 * 1024 * 1024))
+    spark.conf.set(_AQE_KEY, "false")
     try:
-        events_back = io.read(spark, events_table)
+        events_back = io.read(spark, events_table, schema=tagged.schema)
         counts = agg_op.salted_counts(events_back, cfg.bucket_granularity, cfg.salt_buckets) \
             if cfg.use_salted_agg else agg_op.sink_counts(events_back, cfg.bucket_granularity)
         io.write(counts, agg_table, mode=write_mode)
     finally:
         spark.conf.set(_SPLIT_KEY, prev_split)
+        spark.conf.set(_AQE_KEY, prev_aqe)
 
     if use_observe:
         metrics = obs.get  # available: the sink write was the action

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class TableIO:
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
         raise NotImplementedError
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None,
@@ -46,8 +46,14 @@ class ParquetIO(TableIO):
     def location(self, table: str) -> str:
         return os.path.join(self.base_dir, table)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.format(self._fmt).load(self.location(table))
+    def read(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
+        # an explicit schema (data columns; partition columns may be
+        # included or left for discovery) skips the footer-sampling
+        # schema-inference job a bare load pays per read
+        r = spark.read.format(self._fmt)
+        if schema is not None:
+            r = r.schema(schema)
+        return r.load(self.location(table))
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None,
               options: dict | None = None) -> None:
@@ -95,7 +101,9 @@ class IcebergIO(TableIO):
     def location(self, table: str) -> str:
         return f"{self.catalog}.{self.namespace}.{table}"
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
+        # schema is accepted for interface parity and ignored: the
+        # catalog owns an Iceberg table's schema
         return spark.read.format("iceberg").load(self.location(table))
 
     def write(self, df: DataFrame, table: str, mode: str = "overwrite", partition_by: list[str] | None = None,
