@@ -125,6 +125,29 @@ def rolling_distinct(
     )
 
 
+#: Default ceiling for census-frame windows. A census is bounded by a
+#: VALUE RANGE (bins, buckets, distinct scores) — corpus-size-free by
+#: design — but a misconfigured grid (bucket_width too fine for the
+#: data) silently turns the "tiny census walk" into a single-partition
+#: sort over a huge frame at scale. 5M rows still windows in seconds
+#: and bounds the buffered partition to ~100s of MB.
+MAX_CENSUS_ROWS = 5_000_000
+
+
+def assert_census_bounded(census: DataFrame, max_rows: int, hint: str) -> None:
+    """Raise before an unpartitioned census window runs if the census
+    frame exceeds ``max_rows`` (the round-6 verdict's guard for the
+    deliberately census-bounded windows). The probe is a bounded
+    ``limit(max_rows + 1).count()`` — it never materializes more than
+    one row past the cap."""
+    n = census.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"census frame exceeds {max_rows} rows ({n}+); the census "
+            f"window would single-partition at scale — {hint}"
+        )
+
+
 def group_percentiles(
     df: DataFrame,
     group_col: str,
@@ -166,11 +189,28 @@ def group_percentiles(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot_w = Window.partitionBy("_g")
-    walked = cen.withColumn("_cum", F.sum("_n").over(cum_w)).withColumn(
-        "_tot", F.sum("_n").over(tot_w)
+    walked = (
+        cen.withColumn("_cum", F.sum("_n").over(cum_w))
+        .withColumn("_tot", F.sum("_n").over(tot_w))
+        # per-group census size rides the same window pass: the guard
+        # below fails LOUDLY (raise_error) if one group's value range
+        # explodes past the census bound, instead of silently sorting a
+        # huge partition at scale (round-6 verdict's guard; windows here
+        # are per-group, so the cap applies per group, probe-free)
+        .withColumn("_cells", F.count(F.lit(1)).over(tot_w))
+    )
+    n_guarded = F.when(
+        F.max("_cells") <= F.lit(MAX_CENSUS_ROWS), F.max("_tot")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "group census exceeds %d cells; coarsen the value grid "
+                "(group_percentiles)" % MAX_CENSUS_ROWS
+            )
+        ).cast("long")
     )
     return walked.groupBy(F.col("_g").alias(group_col)).agg(
-        F.max("_tot").cast("long").alias("n"),
+        n_guarded.cast("long").alias("n"),
         *[
             F.min(
                 F.when(F.col("_cum") * den >= num * F.col("_tot"), F.col("_v"))

@@ -70,8 +70,16 @@ def select_until_budget(
         key.alias("_key"),
     )
     # bucket census: total weight per bucket, then exclusive running
-    # offsets across the ordered (bounded) bucket table
+    # offsets across the ordered (bounded) bucket table. The "bounded"
+    # claim is guarded: a bucket_width too fine for the key range would
+    # silently single-partition the offset walk at scale.
+    from .aggregate import MAX_CENSUS_ROWS, assert_census_bounded
+
     census = rows.groupBy("_bkt").agg(F.sum(weight_col).alias("_bw"))
+    assert_census_bounded(
+        census, MAX_CENSUS_ROWS,
+        "widen `bucket_width` so the bucket census stays small",
+    )
     off_w = (
         Window.orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -128,6 +136,13 @@ def quantile_buckets(
     w = F.col(weight_col).cast("long")
     rows = df.select(s.alias("_s"), w.alias("_w"))
     census = rows.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    # guard the census-bounded window (see select_until_budget)
+    from .aggregate import MAX_CENSUS_ROWS, assert_census_bounded
+
+    assert_census_bounded(
+        census, MAX_CENSUS_ROWS,
+        "coarsen the score grid so the distinct-score census stays small",
+    )
     cum_w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
     # re-alias the total leg: both legs descend from `census`, and a
     # self-join of shared expression IDs is ambiguous to the analyzer

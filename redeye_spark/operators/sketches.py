@@ -273,7 +273,8 @@ def hist_merge(*cells: DataFrame) -> DataFrame:
 
 
 def hist_quantiles(
-    cells: DataFrame, width: int, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+    cells: DataFrame, width: int, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    max_census_rows: int | None = None,
 ) -> DataFrame:
     """(q, bin, lo, hi, est) — lower-quantile bins from the cells: the
     smallest bin whose cumulative count reaches ceil(q*N). lo/hi are
@@ -282,9 +283,18 @@ def hist_quantiles(
 
     The window sorts the CELLS frame (bins-sized) — acceptable at any
     corpus scale because cell cardinality is value-range/width, not
-    row count."""
+    row count. That claim is GUARDED: a `width` too fine for the data
+    would silently single-partition the walk at scale, so the cells
+    census is asserted under `max_census_rows` (default
+    aggregate.MAX_CENSUS_ROWS) before the window runs."""
     from pyspark.sql import Window
 
+    from .aggregate import MAX_CENSUS_ROWS, assert_census_bounded
+
+    assert_census_bounded(
+        cells, max_census_rows or MAX_CENSUS_ROWS,
+        "widen the histogram `width` so the bin census stays small",
+    )
     cum_w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     tot_w = Window.partitionBy()
     c = cells.select(

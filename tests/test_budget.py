@@ -125,3 +125,46 @@ class TestQuantileBuckets:
         b = sorted(map(tuple, budget.quantile_buckets(
             df.repartition(13), "score", "n_tokens").collect()))
         assert a == b
+
+
+class TestCensusGuard:
+    """The round-6 verdict's guard: census-bounded windows must refuse
+    to run when the census frame exceeds the configured cap."""
+
+    def test_budget_census_cap_raises(self, spark, monkeypatch):
+        from redeye_spark.operators import aggregate
+
+        monkeypatch.setattr(aggregate, "MAX_CENSUS_ROWS", 2)
+        rows = [(i, i * 10, 1) for i in range(1, 6)]  # 5 distinct buckets
+        with pytest.raises(ValueError, match="bucket_width"):
+            budget.select_until_budget(
+                _df(spark, rows), budget=100, weight_col="w", order_col="score"
+            )
+
+    def test_quantile_census_cap_raises(self, spark, monkeypatch):
+        from redeye_spark.operators import aggregate
+
+        monkeypatch.setattr(aggregate, "MAX_CENSUS_ROWS", 2)
+        rows = [(i, i * 10, 1) for i in range(1, 6)]
+        with pytest.raises(ValueError, match="score grid"):
+            budget.quantile_buckets(
+                _df(spark, rows), score_col="score", weight_col="w"
+            )
+
+    def test_hist_census_cap_raises(self, spark):
+        from redeye_spark.operators import sketches
+
+        cells = spark.createDataFrame(
+            [(i, 1) for i in range(5)], "bin bigint, cnt bigint"
+        )
+        with pytest.raises(ValueError, match="width"):
+            sketches.hist_quantiles(cells, width=10, max_census_rows=2)
+
+    def test_under_cap_passes(self, spark):
+        from redeye_spark.operators import sketches
+
+        cells = spark.createDataFrame(
+            [(i, 1) for i in range(5)], "bin bigint, cnt bigint"
+        )
+        out = sketches.hist_quantiles(cells, width=10, max_census_rows=100)
+        assert out.count() > 0
