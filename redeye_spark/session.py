@@ -104,6 +104,14 @@ def get_spark(
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
+    # Parallel (throughput) GC: the pipeline's executors run 2-8 core
+    # slices with 12g heaps and allocation-heavy Arrow->row conversion;
+    # G1's concurrent cycles compete with the pinned task cores there.
+    # Appended so a caller's own extraJavaOptions (e.g. the bench's
+    # ActiveProcessorCount pin) are preserved.
+    _jk = "spark.driver.extraJavaOptions"
+    if "UseG1GC" not in conf.get(_jk, ""):
+        conf[_jk] = (conf.get(_jk, "") + " -XX:+UseParallelGC").strip()
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
