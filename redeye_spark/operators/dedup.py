@@ -236,6 +236,18 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    # Materialize the signatures behind ONE explicit exchange. The
+    # banding self-join's l/r branches and the bucket-size aggregate
+    # each re-plan the whole signature subtree (4 static MapInPandas
+    # nodes; 3 survived runtime exchange reuse), so the Python
+    # shingle+permute pass over the corpus ran three times per query.
+    # With a round-robin shuffle on the (id, signature) proxy
+    # (~num_perm*8 B/row — far under the text bytes, the "shuffle the
+    # lightweight proxy" trade) every branch is an identical Exchange
+    # over the same child, AQE reuses one shuffle output, and the
+    # Python pass runs once. Signatures are a pure per-row function, so
+    # the result is partitioning-invariant.
+    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     banded = sigs.select(
         F.col(id_col),
         F.col("signature"),
@@ -361,18 +373,47 @@ def minhash_lsh_pairs(
             ids_b = batch["id_b"].to_numpy()
             _prime(ids_a, batch["_ta"])
             _prime(ids_b, batch["_tb"])
-            jac = np.empty(len(batch), dtype=np.float64)
-            for i in range(len(batch)):  # candidate pairs only — tiny
-                sa = sets[ids_a[i]]
-                sb = sets[ids_b[i]]
-                union = sa.size + sb.size
-                if sa.size > sb.size:
-                    sa, sb = sb, sa
-                idx = np.searchsorted(sb, sa)
-                mask = idx < sb.size
-                inter = int(np.count_nonzero(sb[idx[mask]] == sa[mask]))
-                union -= inter
-                jac[i] = inter / union if union else 1.0
+            n = len(batch)
+            # Bucket cliques make candidate pairs cluster on id_b
+            # (every member of an m-doc bucket pairs with ~m others), so
+            # the per-pair python overhead — dict lookups plus one
+            # searchsorted call per pair, measured ~56us/pair at 1M
+            # candidates — is hoisted to per-GROUP: sort pairs by id_b,
+            # concatenate the memoized sorted id_a sets of each group,
+            # intersect them against the shared sb with ONE searchsorted,
+            # and split the match counts back per pair with add.reduceat.
+            # Same sets, same integer inter/union arithmetic —
+            # bit-identical jaccard (pinned by the equivalence test).
+            order = np.argsort(ids_b, kind="stable")
+            inter = np.empty(n, dtype=np.int64)
+            size_a = np.empty(n, dtype=np.int64)
+            size_b = np.empty(n, dtype=np.int64)
+            ob = ids_b[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], ob[1:] != ob[:-1], [True]))
+            )
+            for gi in range(bounds.size - 1):
+                s, e = int(bounds[gi]), int(bounds[gi + 1])
+                sb = sets[ob[s]]
+                pos = order[s:e]
+                seg_sets = [sets[d] for d in ids_a[pos]]
+                lens = np.fromiter(
+                    (x.size for x in seg_sets), dtype=np.int64, count=e - s
+                )
+                cat = np.concatenate(seg_sets) if len(seg_sets) > 1 else seg_sets[0]
+                idx = np.searchsorted(sb, cat)
+                # clip instead of masking: a clipped probe compares cat
+                # against sb's last element, which cannot equal it (cat
+                # value > every sb value exactly when idx == sb.size)
+                np.minimum(idx, sb.size - 1, out=idx)
+                good = (sb[idx] == cat).astype(np.int64)
+                starts = np.zeros(e - s, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                inter[pos] = np.add.reduceat(good, starts)
+                size_a[pos] = lens
+                size_b[pos] = sb.size
+            union = size_a + size_b - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
             yield pd.DataFrame(
                 {
                     "id_a": batch["id_a"].reset_index(drop=True),

@@ -58,6 +58,49 @@ class TestDedup:
         pairs = dedup.minhash_lsh_pairs(df, threshold=0.5).toPandas()
         assert (1, 2) in set(map(tuple, pairs[["id_a", "id_b"]].values))
 
+    def test_minhash_exact_verify_matches_reference(self, spark):
+        """verify='exact' jaccard against a naive byte-shingle set
+        reference, on a corpus shaped to exercise the grouped verify
+        kernel: cliques (many pairs sharing id_b in one batch), dispersed
+        pairs, short (<k) rows, empty text, and multi-byte unicode."""
+        k = 5
+
+        def ref_jac(x: str, y: str) -> float:
+            bx, by = (x or "").encode(), (y or "").encode()
+            sx = {bytes(bx[i:i + k]) for i in range(max(len(bx) - k + 1, 1))}
+            sy = {bytes(by[i:i + k]) for i in range(max(len(by) - k + 1, 1))}
+            return len(sx & sy) / len(sx | sy)
+
+        base = "spark pipelines process log lines with vectorized parsing "
+        rows = []
+        for i in range(12):  # near-dup clique (high jaccard, all pairs)
+            rows.append((i, base * 3 + f"tail {i % 3}"))
+        for i in range(12, 24):  # second clique, overlapping shingles
+            rows.append((i, base * 2 + "different middle section " + base))
+        rows += [
+            (30, "ab"),           # shorter than k: sentinel shingle
+            (31, "ab"),           # identical short row
+            (32, ""),             # empty text
+            (33, "héllo wörld über café " * 6),   # multi-byte utf-8
+            (34, "héllo wörld über cafe " * 6),   # near-dup of 33
+            (35, "wholly unrelated content entirely"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = dedup.minhash_lsh_pairs(
+            df, threshold=0.0, num_perm=16, bands=8, verify="exact"
+        ).toPandas()
+        assert len(got) > 60  # cliques must actually produce grouped pairs
+        texts = dict(rows)
+        for r in got.itertuples():
+            expect = ref_jac(texts[r.id_a], texts[r.id_b])
+            assert abs(r.jaccard - round(expect, 6)) < 5e-7, (
+                r.id_a, r.id_b, r.jaccard, expect,
+            )
+        # short-row sentinel pair and the unicode near-dup pair survive
+        got_pairs = set(map(tuple, got[["id_a", "id_b"]].values))
+        assert (30, 31) in got_pairs
+        assert (33, 34) in got_pairs
+
     def test_minhash_deterministic(self, spark):
         df = spark.createDataFrame([(i, f"some text number {i % 3} repeated") for i in range(9)],
                                    ["doc_id", "text"])
